@@ -1,0 +1,140 @@
+"""Front-end numerics vs. an independent numpy/scipy oracle.
+
+The oracle below re-derives the reference math (models/preprocess.py:40-67)
+directly with np.fft + scipy windows, with none of the framing/GEMM tricks
+used by the JAX implementation, so agreement is a genuine cross-check.
+"""
+
+import jax
+import numpy as np
+import pytest
+import scipy.signal
+
+from efficientat_tpu.ops.filterbank import kaldi_mel_banks
+from efficientat_tpu.ops.melspec import (
+    MelConfig,
+    hann_window,
+    log_mel_spectrogram,
+    preemphasis,
+    stft_power,
+)
+
+
+def oracle_mel_banks(n_mels, n_fft, sr, fmin, fmax):
+    """Kaldi mel banks, straight from the Kaldi definition in float64."""
+    def mel(f):
+        return 1127.0 * np.log(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    nbins = n_fft // 2
+    out = np.zeros((n_mels, nbins + 1))
+    lo, hi = mel(fmin), mel(fmax)
+    delta = (hi - lo) / (n_mels + 1)
+    for m in range(n_mels):
+        left, center, right = lo + m * delta, lo + (m + 1) * delta, lo + (m + 2) * delta
+        for i in range(nbins):
+            f = mel(i * sr / n_fft)
+            if left < f < right:
+                out[m, i] = min((f - left) / (center - left), (right - f) / (right - center))
+    return out
+
+
+def oracle_power_stft(x, n_fft, hop, win_length):
+    """Centered power STFT via np.fft.rfft, one frame at a time."""
+    window = np.zeros(n_fft)
+    left = (n_fft - win_length) // 2
+    window[left:left + win_length] = scipy.signal.get_window("hann", win_length, fftbins=False)
+    pad = n_fft // 2
+    xp = np.pad(x, pad, mode="reflect")
+    n_frames = len(x) // hop + 1
+    spec = np.empty((n_frames, n_fft // 2 + 1))
+    for i in range(n_frames):
+        frame = xp[i * hop:i * hop + n_fft] * window
+        spec[i] = np.abs(np.fft.rfft(frame)) ** 2
+    return spec
+
+
+def test_hann_matches_scipy():
+    w = hann_window(800)
+    ref = scipy.signal.get_window("hann", 800, fftbins=False)
+    np.testing.assert_allclose(w, ref, atol=1e-12)
+
+
+def test_mel_banks_match_oracle():
+    got = np.asarray(kaldi_mel_banks(128, 1024, 32000, 0.0, 15000.0))
+    want = oracle_mel_banks(128, 1024, 32000, 0.0, 15000.0)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+    # Nyquist column is exactly zero (reference zero-pads it).
+    assert np.all(got[:, -1] == 0)
+
+
+def test_mel_banks_jittered_ranges():
+    got = np.asarray(kaldi_mel_banks(128, 1024, 32000, 7.0, 15750.0))
+    want = oracle_mel_banks(128, 1024, 32000, 7.0, 15750.0)
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_preemphasis():
+    x = np.random.default_rng(0).normal(size=(2, 100)).astype(np.float32)
+    y = np.asarray(preemphasis(x))
+    want = x[:, 1:] - 0.97 * x[:, :-1]
+    np.testing.assert_allclose(y, want, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("hop,n_samples", [(320, 32000), (320, 32001), (500, 16000)])
+def test_stft_power_matches_fft_oracle(hop, n_samples):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, n_samples)).astype(np.float32)
+    got = np.asarray(stft_power(x, 1024, hop, 800))
+    for b in range(2):
+        want = oracle_power_stft(x[b].astype(np.float64), 1024, hop, 800)
+        assert got[b].shape == want.shape
+        np.testing.assert_allclose(got[b], want, rtol=1e-3, atol=1e-2)
+
+
+def test_frame_count_10s_clip():
+    cfg = MelConfig()
+    assert cfg.num_frames(320000) == 1000
+
+
+def test_log_mel_eval_path():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(1, 32000)).astype(np.float32) * 0.1
+    cfg = MelConfig()
+    out = np.asarray(log_mel_spectrogram(x, cfg, training=False))
+    assert out.shape == (1, 128, 100)
+
+    # independent oracle for the whole eval pipeline
+    xe = x[0, 1:] - 0.97 * x[0, :-1]
+    spec = oracle_power_stft(xe.astype(np.float64), 1024, 320, 800)
+    banks = oracle_mel_banks(128, 1024, 32000, 0.0, 15000.0)
+    mel = banks @ spec.T
+    want = (np.log(mel + 1e-5) + 4.5) / 5.0
+    np.testing.assert_allclose(out[0], want, rtol=1e-4, atol=1e-4)
+
+
+def test_log_mel_training_shapes_and_masks():
+    x = np.random.default_rng(3).normal(size=(4, 32000)).astype(np.float32)
+    cfg = MelConfig()
+    key = jax.random.PRNGKey(0)
+    out = np.asarray(log_mel_spectrogram(x, cfg, training=True, rng=key))
+    assert out.shape == (4, 128, 100)
+    # masked cells are exactly (0 + 4.5)/5 = 0.9
+    n_masked = np.sum(out == 0.9)
+    assert n_masked > 0, "expected SpecAugment to mask some cells"
+
+    # different keys give different augmentation
+    out2 = np.asarray(log_mel_spectrogram(x, cfg, training=True, rng=jax.random.PRNGKey(1)))
+    assert not np.allclose(out, out2)
+
+    # eval path is deterministic and unmasked
+    e1 = np.asarray(log_mel_spectrogram(x, cfg))
+    e2 = np.asarray(log_mel_spectrogram(x, cfg))
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_log_mel_jit_compatible():
+    cfg = MelConfig()
+    fn = jax.jit(lambda w, k: log_mel_spectrogram(w, cfg, training=True, rng=k))
+    x = np.zeros((2, 16000), dtype=np.float32)
+    out = fn(x, jax.random.PRNGKey(0))
+    assert out.shape == (2, 128, 50)
