@@ -1,0 +1,394 @@
+"""DyMN — Dynamic MobileNet audio tagger, flax.linen, NHWC.
+
+Reference behavior: models/dymn/model.py:36-361 and models/dymn/dy_block.py.
+Each DY block computes a shared context (ContextGen), then:
+expand DynamicConv 1x1 -> BN -> act -> depthwise DynamicConv kxk -> BN ->
+DyReLU-B -> Coordinate Attention -> project DynamicConv 1x1 -> BN -> (+res).
+
+TPU-first redesign of DynamicConv (dy_block.py:44-131): the reference folds
+the batch into conv groups (``groups=B*C``) — a CUDA grouped-conv idiom that
+XLA lowers poorly. Here:
+- 1x1 dynamic convs aggregate the K weight banks per sample
+  (``att @ banks``) and run as one batched matmul
+  (``einsum('bfti,bio->bfto')``) — a native MXU op.
+- dynamic depthwise convs become an unrolled shift-and-add: for each of the
+  k*k taps, a strided slice of the padded map is scaled by the per-sample,
+  per-channel tap weight and accumulated — pure VPU work that XLA fuses.
+
+The DynamicConv softmax temperature anneals per epoch
+(dy_block.py:133-139); it is passed in as a traced scalar so changing it
+never recompiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from efficientat_tpu.models.layers import (
+    ACTIVATIONS,
+    BN_EPS,
+    BN_MOMENTUM,
+    BlockConfig,
+    ConvNormAct,
+    FullyConvHead,
+    InvertedResidual,
+    MlpHead,
+    dense_init,
+)
+from efficientat_tpu.models.mn import mn_block_table
+from efficientat_tpu.utils.common import make_divisible
+
+
+def dyconv_temperature(epoch: int, t_max: float = 30.0, t_min: float = 1.0,
+                       t0_slope: float = 1.0, t1_slope: float = 0.02) -> float:
+    """Per-epoch DynamicConv softmax temperature (dy_block.py:133-139)."""
+    t0 = t_max - t0_slope * epoch
+    t1 = 1 + t1_slope * (t_max - 1) / t0_slope - t1_slope * epoch
+    return max(t0, t1, t_min)
+
+
+def _bank_init(k: int, fan_out: int):
+    """torch kaiming_normal_(mode=fan_out) applied per weight bank."""
+    std = float(np.sqrt(2.0 / fan_out))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+
+    return init
+
+
+class DynamicConv(nn.Module):
+    """K-bank dynamic convolution; per-sample kernel = softmax-attention mix.
+
+    Only the two shapes the architecture uses are implemented:
+    pointwise (kernel 1, groups 1) and full depthwise (groups == channels).
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 1
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    k: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h_c, temperature):
+        logits = nn.Dense(self.k, kernel_init=dense_init, dtype=self.dtype,
+                          name="att")(h_c)
+        att = jax.nn.softmax(logits / temperature, axis=-1)  # (B, K)
+
+        ks = self.kernel_size
+        fan_out = self.out_channels * ks * ks
+        if ks == 1 and self.groups == 1:
+            w = self.param(
+                "weight", _bank_init(self.k, fan_out),
+                (self.k, self.in_channels, self.out_channels))
+            wb = jnp.einsum("bk,kio->bio", att, w.astype(self.dtype))
+            return jnp.einsum("bfti,bio->bfto", x, wb,
+                              preferred_element_type=self.dtype)
+        if self.groups == self.in_channels == self.out_channels:
+            w = self.param(
+                "weight", _bank_init(self.k, fan_out),
+                (self.k, ks, ks, self.in_channels))
+            wb = jnp.einsum("bk,kuvc->buvc", att, w.astype(self.dtype))
+            return _dynamic_depthwise(x, wb, ks, self.stride, self.dilation)
+        raise NotImplementedError(
+            "DynamicConv supports pointwise (k=1, groups=1) and full depthwise only")
+
+
+def _dynamic_depthwise(x, w, ks: int, stride: int, dilation: int):
+    """Depthwise conv with per-sample kernels via shift-and-add.
+
+    x: (B, F, T, C); w: (B, ks, ks, C). Cross-correlation with torch-style
+    symmetric padding (k-1)//2 * dilation.
+    """
+    b, f, t, c = x.shape
+    p = (ks - 1) // 2 * dilation
+    fo = (f + 2 * p - dilation * (ks - 1) - 1) // stride + 1
+    to = (t + 2 * p - dilation * (ks - 1) - 1) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    out = jnp.zeros((b, fo, to, c), dtype=x.dtype)
+    for di in range(ks):
+        for dj in range(ks):
+            patch = jax.lax.slice(
+                xp,
+                (0, di * dilation, dj * dilation, 0),
+                (b, di * dilation + (fo - 1) * stride + 1,
+                 dj * dilation + (to - 1) * stride + 1, c),
+                (1, stride, stride, 1),
+            )
+            out = out + patch * w[:, di, dj, :][:, None, None, :]
+    return out
+
+
+class ContextGen(nn.Module):
+    """Shared context for Dy-ReLU / Dy-Conv / Coordinate Attention.
+
+    Reference: dy_block.py:214-254. Frequency- and time-pooled sequences are
+    concatenated, passed through a shared linear+BN+Hardswish, and split into
+    (a) a pooled context vector h_c of size H and (b) per-frequency /
+    per-time coordinate-attention tensors projected to the expanded width.
+    """
+
+    context_dim: int
+    exp_channels: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f, t = x.shape[1], x.shape[2]
+        cf = jnp.mean(x, axis=2)  # (B, F, C)
+        ct = jnp.mean(x, axis=1)  # (B, T, C)
+        g_cat = jnp.concatenate([cf, ct], axis=1)  # (B, F+T, C)
+        g_cat = nn.Dense(self.context_dim, use_bias=False, kernel_init=dense_init,
+                         dtype=self.dtype, name="joint")(g_cat)
+        g_cat = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                             epsilon=BN_EPS, dtype=self.dtype, name="joint_bn")(g_cat)
+        g_cat = nn.hard_swish(g_cat)
+
+        h_cf, h_ct = g_cat[:, :f], g_cat[:, f:]
+        h_c = jnp.mean(g_cat, axis=1)  # (B, H)
+
+        if self.stride > 1:
+            h_cf = _seq_avg_pool(h_cf, self.stride)
+            h_ct = _seq_avg_pool(h_ct, self.stride)
+        g_cf = nn.Dense(self.exp_channels, kernel_init=dense_init, dtype=self.dtype,
+                        name="proj_f")(h_cf)  # (B, F', exp)
+        g_ct = nn.Dense(self.exp_channels, kernel_init=dense_init, dtype=self.dtype,
+                        name="proj_t")(h_ct)  # (B, T', exp)
+        return h_c, g_cf, g_ct
+
+
+def _seq_avg_pool(x, stride: int):
+    """AvgPool k=3, padding=1 along axis 1 of (B, S, C), count_include_pad."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0)))
+    s_out = (x.shape[1] + 2 - 3) // stride + 1
+    acc = sum(
+        jax.lax.slice_in_dim(xp, d, d + (s_out - 1) * stride + 1, stride, axis=1)
+        for d in range(3)
+    )
+    return acc / 3.0
+
+
+class DyReLUB(nn.Module):
+    """Dynamic ReLU (variant B): per-channel max of M learned linear maps.
+
+    Reference: dy_block.py:142-188. theta = 2*sigmoid(W h_c) - 1;
+    coefs = theta * [1]*M+[0.5]*M + [1,0,...]; out = max_m(x*a_m + b_m).
+    """
+
+    channels: int
+    m: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h_c):
+        theta = nn.Dense(2 * self.m * self.channels, kernel_init=dense_init,
+                         dtype=self.dtype, name="coef")(h_c)
+        theta = 2.0 * nn.sigmoid(theta) - 1.0
+        theta = theta.reshape(-1, self.channels, 2 * self.m)
+        lambdas = jnp.asarray([1.0] * self.m + [0.5] * self.m, dtype=theta.dtype)
+        init_v = jnp.asarray([1.0] + [0.0] * (2 * self.m - 1), dtype=theta.dtype)
+        coefs = theta * lambdas + init_v  # (B, C, 2M)
+        a = coefs[:, None, None, :, :self.m]  # (B,1,1,C,M)
+        b = coefs[:, None, None, :, self.m:]
+        return jnp.max(x[..., None] * a + b, axis=-1)
+
+
+def coord_att(x, g_cf, g_ct):
+    """Coordinate attention: x * sigmoid(g_cf) * sigmoid(g_ct) (dy_block.py:191-201)."""
+    return x * nn.sigmoid(g_cf)[:, :, None, :] * nn.sigmoid(g_ct)[:, None, :, :]
+
+
+class DYBlock(nn.Module):
+    """Dynamic inverted residual block (dy_block.py:257-409)."""
+
+    cnf: BlockConfig
+    width_mult: float = 1.0
+    context_ratio: int = 4
+    max_context_size: int = 128
+    min_context_size: int = 32
+    dyrelu_k: int = 2
+    dyconv_k: int = 4
+    no_dyrelu: bool = False
+    no_dyconv: bool = False
+    no_ca: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def context_dim(self) -> int:
+        return int(np.clip(
+            make_divisible(self.cnf.expanded_channels // self.context_ratio, 8),
+            make_divisible(self.min_context_size * self.width_mult, 8),
+            make_divisible(self.max_context_size * self.width_mult, 8),
+        ))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, temperature=1.0):
+        cnf = self.cnf
+        act = ACTIVATIONS[cnf.activation]
+        stride = 1 if cnf.dilation > 1 else cnf.stride
+        inp = x
+
+        h_c, g_cf, g_ct = ContextGen(self.context_dim, cnf.expanded_channels,
+                                     stride=stride, dtype=self.dtype,
+                                     name="context")(x, train)
+
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                       dtype=self.dtype, name=name)
+        # expand
+        if cnf.expanded_channels != cnf.input_channels:
+            if self.no_dyconv:
+                x = nn.Conv(cnf.expanded_channels, (1, 1), use_bias=False,
+                            dtype=self.dtype, name="exp_conv")(x)
+            else:
+                x = DynamicConv(cnf.input_channels, cnf.expanded_channels,
+                                k=self.dyconv_k, dtype=self.dtype,
+                                name="exp_conv")(x, h_c, temperature)
+            x = bn("exp_bn")(x)
+            x = act(x)
+
+        # depthwise
+        pad = (cnf.kernel - 1) // 2 * cnf.dilation
+        if self.no_dyconv:
+            x = nn.Conv(cnf.expanded_channels, (cnf.kernel, cnf.kernel),
+                        strides=(stride, stride), padding=[(pad, pad), (pad, pad)],
+                        kernel_dilation=(cnf.dilation, cnf.dilation),
+                        feature_group_count=cnf.expanded_channels, use_bias=False,
+                        dtype=self.dtype, name="depth_conv")(x)
+        else:
+            x = DynamicConv(cnf.expanded_channels, cnf.expanded_channels,
+                            kernel_size=cnf.kernel, stride=stride,
+                            dilation=cnf.dilation, groups=cnf.expanded_channels,
+                            k=self.dyconv_k, dtype=self.dtype,
+                            name="depth_conv")(x, h_c, temperature)
+        x = bn("depth_bn")(x)
+        if self.no_dyrelu:
+            x = act(x)
+        else:
+            x = DyReLUB(cnf.expanded_channels, self.dyrelu_k, dtype=self.dtype,
+                        name="dyrelu")(x, h_c)
+        if not self.no_ca:
+            x = coord_att(x, g_cf, g_ct)
+
+        # project
+        if self.no_dyconv:
+            x = nn.Conv(cnf.out_channels, (1, 1), use_bias=False,
+                        dtype=self.dtype, name="proj_conv")(x)
+        else:
+            x = DynamicConv(cnf.expanded_channels, cnf.out_channels,
+                            k=self.dyconv_k, dtype=self.dtype,
+                            name="proj_conv")(x, h_c, temperature)
+        x = bn("proj_bn")(x)
+
+        if cnf.use_res:
+            x = x + inp
+        return x
+
+
+# Which of the 15 blocks are dynamic for use_dy_blocks="replace_se"
+# (models/dymn/model.py:228-229): the 8 positions that have SE in MNv3.
+_REPLACE_SE_MASK = (False, False, False, True, True, True, False, False,
+                    False, False, True, True, True, True, True)
+
+
+@dataclasses.dataclass(frozen=True)
+class DyMNConfig:
+    """Constructor surface of the reference get_model (models/dymn/model.py:289-361)."""
+
+    num_classes: int = 527
+    width_mult: float = 1.0
+    strides: Tuple[int, int, int, int] = (2, 2, 2, 2)
+    head_type: str = "mlp"  # mlp | fully_convolutional
+    context_ratio: int = 4
+    max_context_size: int = 128
+    min_context_size: int = 32
+    dyrelu_k: int = 2
+    dyconv_k: int = 4
+    no_dyrelu: bool = False
+    no_dyconv: bool = False
+    no_ca: bool = False
+    use_dy_blocks: str = "all"  # all | replace_se
+    reduced_tail: bool = False
+    dilated: bool = False
+    in_conv_kernel: int = 3
+    in_conv_stride: int = 2
+    in_channels: int = 1
+    dropout: float = 0.2
+    # temperature schedule (T_max, T_min, T0_slope, T1_slope); with a
+    # pretrained model T_max is the pretraining's final temperature
+    # (models/dymn/model.py:336-342)
+    t_max: float = 30.0
+    t_min: float = 1.0
+    t0_slope: float = 1.0
+    t1_slope: float = 0.02
+
+    def block_table(self):
+        return mn_block_table(self.width_mult, self.reduced_tail, self.dilated,
+                              self.strides)
+
+    def dy_mask(self) -> Tuple[bool, ...]:
+        if self.use_dy_blocks == "all":
+            return (True,) * 15
+        if self.use_dy_blocks == "replace_se":
+            return _REPLACE_SE_MASK
+        raise NotImplementedError(f"use_dy_blocks={self.use_dy_blocks}")
+
+    def temperature(self, epoch: int) -> float:
+        return dyconv_temperature(epoch, self.t_max, self.t_min,
+                                  self.t0_slope, self.t1_slope)
+
+
+class DyMN(nn.Module):
+    cfg: DyMNConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, temperature=1.0):
+        """x: (B, F, T, C_in) -> (logits, embedding). ``temperature`` may be a
+        python float or traced scalar; pass the per-epoch value from
+        ``cfg.temperature(epoch)`` during training."""
+        cfg = self.cfg
+        table, last_channel = cfg.block_table()
+        dy_mask = cfg.dy_mask()
+
+        x = ConvNormAct(table[0].input_channels, cfg.in_conv_kernel,
+                        cfg.in_conv_stride, dtype=self.dtype, name="stem")(x, train)
+        for i, cnf in enumerate(table):
+            if dy_mask[i]:
+                x = DYBlock(cnf, cfg.width_mult, cfg.context_ratio,
+                            cfg.max_context_size, cfg.min_context_size,
+                            cfg.dyrelu_k, cfg.dyconv_k, cfg.no_dyrelu,
+                            cfg.no_dyconv, cfg.no_ca, dtype=self.dtype,
+                            name=f"block{i}")(x, train, temperature)
+            else:
+                # static blocks in DyMN carry no SE (DynamicInvertedResidualConfig
+                # hardwires use_se=False, dy_block.py:30)
+                x = InvertedResidual(cnf, se_dims=None, dtype=self.dtype,
+                                     name=f"block{i}")(x, train)
+        x = ConvNormAct(6 * table[-1].out_channels, 1, dtype=self.dtype,
+                        name="tail")(x, train)
+
+        embedding = jnp.mean(x, axis=(1, 2))
+
+        if cfg.head_type == "mlp":
+            logits = MlpHead(last_channel, cfg.num_classes, cfg.dropout,
+                             dtype=self.dtype, name="head")(x, train)
+        elif cfg.head_type == "fully_convolutional":
+            logits = FullyConvHead(cfg.num_classes, dtype=self.dtype,
+                                   name="head")(x, train)
+        else:
+            raise NotImplementedError(
+                f"Head '{cfg.head_type}' unknown. Must be one of: 'mlp', "
+                f"'fully_convolutional'")
+        return logits, embedding

