@@ -1,0 +1,142 @@
+"""Unified CLI — subcommands mirror the reference's per-task scripts.
+
+- ``tag``           <- inference.py (single clip, top-10 printout)
+- ``windowed-tag``  <- windowed_inference.py (long-form sliding window)
+- ``train``         <- ex_audioset.py / ex_esc50.py / ... (per-task presets)
+- ``evaluate``      <- ex_audioset.py evaluate() / ex_fsd50k.py evaluate()
+- ``complexity``    <- complexity.py (MACs / analytic peak memory)
+- ``receptive-field`` <- receptive_field_cnn.py
+
+Run ``python -m efficientat_tpu.cli <subcommand> --help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_tag(sub):
+    p = sub.add_parser("tag", help="Tag a single audio clip (top-10 labels)")
+    p.add_argument("--model_name", type=str, default="mn10_as")
+    p.add_argument("--ensemble", nargs="+", default=[])
+    p.add_argument("--audio_path", type=str, required=True)
+    p.add_argument("--no-pretrained", action="store_true",
+                   help="random weights (pipeline testing without checkpoints)")
+    p.add_argument("--model_dir", type=str, default="resources")
+    p.set_defaults(fn=_run_tag)
+
+
+def _run_tag(args):
+    from efficientat_tpu.infer.tag import Tagger
+
+    names = args.ensemble if args.ensemble else args.model_name
+    tagger = Tagger(names, pretrained=not args.no_pretrained,
+                    model_dir=args.model_dir)
+    tags = tagger.tag(args.audio_path)
+    print("************* Acoustic Event Detected: *****************")
+    for label, prob in tags:
+        print(f"{label}: {prob:.3f}")
+    print("********************************************************")
+
+
+def _add_windowed(sub):
+    p = sub.add_parser("windowed-tag", help="Tag a long recording in sliding windows")
+    p.add_argument("--model_name", type=str, default="mn10_as")
+    p.add_argument("--audio_path", type=str, required=True)
+    p.add_argument("--window_size", type=float, default=10.0)
+    p.add_argument("--hop_length", type=float, default=2.5)
+    p.add_argument("--max_batch", type=int, default=None)
+    p.add_argument("--no-pretrained", action="store_true")
+    p.add_argument("--model_dir", type=str, default="resources")
+    p.set_defaults(fn=_run_windowed)
+
+
+def _run_windowed(args):
+    from efficientat_tpu.infer.tag import Tagger
+    from efficientat_tpu.infer.windowed import tag_audio_window
+
+    tagger = Tagger(args.model_name, pretrained=not args.no_pretrained,
+                    model_dir=args.model_dir)
+    results = tag_audio_window(tagger, args.audio_path, args.window_size,
+                               args.hop_length, max_batch=args.max_batch)
+    for r in results:
+        print(f"[{r['start']:8.2f}s - {r['end']:8.2f}s]")
+        for label, prob in r["tags"][:3]:
+            print(f"    {label}: {prob:.3f}")
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="Train / fine-tune on a task preset")
+    p.add_argument("task", choices=["audioset", "esc50", "fsd50k", "dcase20", "openmic"])
+    p.set_defaults(fn=_run_train, passthrough=True)
+
+
+def _run_train(args, extra):
+    from efficientat_tpu.train.cli import run_train
+
+    run_train(args.task, extra)
+
+
+def _add_evaluate(sub):
+    p = sub.add_parser("evaluate", help="Evaluate a model on a task's eval split")
+    p.add_argument("task", choices=["audioset", "esc50", "fsd50k", "dcase20", "openmic"])
+    p.set_defaults(fn=_run_evaluate, passthrough=True)
+
+
+def _run_evaluate(args, extra):
+    from efficientat_tpu.train.cli import run_evaluate
+
+    run_evaluate(args.task, extra)
+
+
+def _add_complexity(sub):
+    p = sub.add_parser("complexity", help="MACs / params / analytic peak memory")
+    p.add_argument("--model_name", type=str, default="mn10_as")
+    p.add_argument("--measure", choices=["macs", "memory"], default="macs")
+    p.add_argument("--bits", type=int, default=16)
+    p.add_argument("--clip_seconds", type=float, default=10.0)
+    p.set_defaults(fn=_run_complexity)
+
+
+def _run_complexity(args):
+    from efficientat_tpu.tools.complexity import report_complexity
+
+    report_complexity(args.model_name, measure=args.measure, bits=args.bits,
+                      clip_seconds=args.clip_seconds)
+
+
+def _add_rf(sub):
+    p = sub.add_parser("receptive-field", help="Analytic receptive field (freq/time)")
+    p.add_argument("--model_name", type=str, default="mn10_as")
+    p.set_defaults(fn=_run_rf)
+
+
+def _run_rf(args):
+    from efficientat_tpu.tools.receptive_field import report_receptive_field
+
+    report_receptive_field(args.model_name)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="efficientat_tpu",
+                                     description=__doc__,
+                                     formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    _add_tag(sub)
+    _add_windowed(sub)
+    _add_train(sub)
+    _add_evaluate(sub)
+    _add_complexity(sub)
+    _add_rf(sub)
+
+    args, extra = parser.parse_known_args(argv)
+    if getattr(args, "passthrough", False):
+        return args.fn(args, extra)
+    if extra:
+        parser.error(f"unrecognized arguments: {extra}")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
