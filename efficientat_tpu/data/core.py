@@ -1,0 +1,256 @@
+"""Host data pipeline core: datasets, augmentation wrappers, sampler, loader.
+
+Reference equivalents: datasets/helpers/audiodatasets.py (PreprocessDataset,
+roll, gain), datasets/audioset.py:66-103 (wav mixup, AddIndex),
+datasets/audioset.py:180-214 (class-balanced weighted sampler),
+helpers/init.py (per-worker RNG seeding), torch DataLoader (num_workers=12).
+
+TPU-first redesign:
+- RNG is explicit: every item access receives a numpy Generator derived from
+  (base_seed, epoch, index) via SeedSequence — deterministic, order
+  independent, and safe under any thread count (the reference relies on
+  torch's implicit global RNG plus worker_init_fn reseeding).
+- The loader is a thread-pool prefetcher producing fixed-shape numpy batches
+  (decode releases the GIL inside h5py/numpy); batches are ready for
+  jax.device_put, overlapping host decode with device compute.
+- Weighted sampling without replacement uses the Gumbel-top-k trick
+  (Efraimidis-Spirakis order sampling) — O(N log k) for 100k draws out of
+  2M, no sequential rejection loop.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+class Dataset:
+    """Map-style dataset: __len__ + get(index, rng) -> dict."""
+
+    def __len__(self):  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def get(self, index: int, rng: np.random.Generator) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+class ConcatDataset(Dataset):
+    def __init__(self, datasets: Sequence[Dataset]):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def get(self, index, rng):
+        di = int(np.searchsorted(self._offsets, index, side="right")) - 1
+        return self.datasets[di].get(index - int(self._offsets[di]), rng)
+
+
+class PreprocessDataset(Dataset):
+    """Apply fn(item, rng) -> item on the fly (audiodatasets.py:7-23)."""
+
+    def __init__(self, dataset: Dataset, fn: Callable):
+        self.dataset = dataset
+        self.fn = fn
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def get(self, index, rng):
+        return self.fn(self.dataset.get(index, rng), rng)
+
+
+def roll_aug(item: Dict[str, Any], rng: np.random.Generator,
+             shift_range: int = 4000) -> Dict[str, Any]:
+    """Random circular shift of the waveform by U[-range, range] samples
+    (audiodatasets.py:26-38)."""
+    shift = int(rng.integers(-shift_range, shift_range + 1))
+    item = dict(item)
+    item["wave"] = np.roll(item["wave"], shift, axis=-1)
+    return item
+
+
+def gain_aug(item: Dict[str, Any], rng: np.random.Generator,
+             gain_augment: int = 12) -> Dict[str, Any]:
+    """Random gain of U{-g..g-1} dB (audiodatasets.py:41-51 /
+    datasets/audioset.py:58-63)."""
+    gain = int(rng.integers(0, gain_augment * 2)) - gain_augment
+    item = dict(item)
+    item["wave"] = item["wave"] * np.float32(10.0 ** (gain / 20.0))
+    return item
+
+
+class MixupDataset(Dataset):
+    """Waveform-level mixup: with prob ``rate`` mix with a random second
+    clip using Beta(beta, beta), mean-centering both (audioset.py:66-91).
+    ``mask_aware=True`` implements OpenMIC's variant: zero unobserved label
+    probs before mixing and OR the observed masks (openmic.py:64-98)."""
+
+    def __init__(self, dataset: Dataset, beta: float = 2.0, rate: float = 0.5,
+                 mask_aware: bool = False, n_labels: int = 20):
+        self.dataset = dataset
+        self.beta = beta
+        self.rate = rate
+        self.mask_aware = mask_aware
+        self.n_labels = n_labels
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def get(self, index, rng):
+        it1 = self.dataset.get(index, rng)
+        if rng.random() >= self.rate:
+            return it1
+        idx2 = int(rng.integers(0, len(self.dataset)))
+        it2 = self.dataset.get(idx2, rng)
+        lam = rng.beta(self.beta, self.beta)
+        lam = max(lam, 1.0 - lam)
+        x1 = it1["wave"] - it1["wave"].mean()
+        x2 = it2["wave"] - it2["wave"].mean()
+        x = x1 * lam + x2 * (1.0 - lam)
+        x = x - x.mean()
+        y1 = np.asarray(it1["target"], np.float32).copy()
+        y2 = np.asarray(it2["target"], np.float32).copy()
+        if self.mask_aware:
+            n = self.n_labels
+            m1 = (y1[n:] > 0.5).astype(np.float32)
+            m2 = (y2[n:] > 0.5).astype(np.float32)
+            y1[:n] *= m1
+            y2[:n] *= m2
+            y = y1 * lam + y2 * (1.0 - lam)
+            y[n:] = np.maximum(m1, m2)
+        else:
+            y = y1 * lam + y2 * (1.0 - lam)
+        out = dict(it1)
+        out["wave"] = x.astype(np.float32)
+        out["target"] = y
+        return out
+
+
+def balanced_sample_weights(targets: np.ndarray, offset: float = 100.0,
+                            weight_sum: bool = True) -> np.ndarray:
+    """Per-sample class-balancing weights (audioset.py:185-214):
+    per-class weight 1000/(offset + freq); per-sample sum (or max) over its
+    labels."""
+    targets = np.asarray(targets, np.float32)
+    per_class = 1000.0 / (offset + targets.sum(axis=0, keepdims=True))
+    w = targets * per_class
+    return w.sum(axis=1) if weight_sum else w.max(axis=1)
+
+
+def weighted_sample_without_replacement(weights: np.ndarray, k: int,
+                                        rng: np.random.Generator) -> np.ndarray:
+    """k indices ~ weighted sampling w/o replacement via Gumbel top-k."""
+    w = np.asarray(weights, np.float64)
+    logw = np.where(w > 0, np.log(np.maximum(w, 1e-30)), -np.inf)
+    keys = logw + rng.gumbel(size=len(w))
+    return np.argpartition(-keys, k - 1)[:k]
+
+
+class WeightedEpochSampler:
+    """Reference ``get_ft_weighted_sampler`` semantics (audioset.py:180-183):
+    ``epoch_len`` draws per epoch, weighted, without replacement by default."""
+
+    def __init__(self, weights: np.ndarray, epoch_len: int = 100_000,
+                 replacement: bool = False, seed: int = 0):
+        self.weights = np.asarray(weights, np.float64)
+        self.epoch_len = epoch_len
+        self.replacement = replacement
+        self.seed = seed
+
+    def indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+        if self.replacement:
+            p = self.weights / self.weights.sum()
+            return rng.choice(len(self.weights), size=self.epoch_len, p=p)
+        return weighted_sample_without_replacement(self.weights, self.epoch_len, rng)
+
+
+class SequentialSampler:
+    def __init__(self, n: int, shuffle: bool = False, seed: int = 0):
+        self.n, self.shuffle, self.seed = n, shuffle, seed
+
+    def indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence([self.seed, epoch]))
+            rng.shuffle(idx)
+        return idx
+
+
+def _collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for key in items[0]:
+        vals = [it[key] for it in items]
+        if isinstance(vals[0], str):
+            out[key] = vals  # strings (fnames) stay a list
+        elif isinstance(vals[0], np.ndarray) or np.isscalar(vals[0]):
+            out[key] = np.stack([np.asarray(v) for v in vals])
+        else:
+            out[key] = vals
+    return out
+
+
+class Loader:
+    """Threaded prefetching batch loader.
+
+    Produces dict batches with stacked numpy arrays; per-item RNG derives
+    from (seed, epoch, index) so results are independent of thread timing.
+    """
+
+    def __init__(self, dataset: Dataset, batch_size: int, sampler=None,
+                 num_threads: int = 8, drop_last: bool = False, seed: int = 0,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler or SequentialSampler(len(dataset))
+        self.num_threads = num_threads
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.sampler.indices(0))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0):
+        """Iterate batches for one epoch (a generator)."""
+        indices = self.sampler.indices(epoch)
+        if self.drop_last:
+            indices = indices[: len(indices) // self.batch_size * self.batch_size]
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+
+        def fetch(batch_idx_and_ids):
+            bi, ids = batch_idx_and_ids
+            items = []
+            for idx in ids:
+                rng = np.random.default_rng(
+                    np.random.SeedSequence([self.seed, epoch, int(idx)]))
+                items.append(self.dataset.get(int(idx), rng))
+            return _collate(items)
+
+        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            futures = queue.Queue()
+            it = iter(enumerate(batches))
+
+            def submit_next():
+                try:
+                    futures.put(pool.submit(fetch, next(it)))
+                    return True
+                except StopIteration:
+                    return False
+
+            for _ in range(min(self.prefetch, len(batches))):
+                submit_next()
+            produced = 0
+            while produced < len(batches):
+                fut = futures.get()
+                submit_next()
+                yield fut.result()
+                produced += 1

@@ -1,0 +1,184 @@
+"""HDF5-backed audio datasets.
+
+The reference stores AudioSet/FSD50K/OpenMIC as HDF5 files holding raw mp3
+bytes + packed label bits, decoded per item in DataLoader workers
+(datasets/audioset.py:106-177). Two backends here:
+
+- ``MP3Hdf5Dataset``: same on-disk format ('mp3' vlen-uint8, 'target'
+  packed bits or float, 'audio_name'); decode via PyAV (optional dep).
+- ``PCMHdf5Dataset``: int16 PCM variant ('pcm') — recommended on air-gapped
+  or FFmpeg-less hosts; ``convert_mp3_hdf5_to_pcm`` migrates once.
+
+Both keep the reference's lazy-open semantics (file handle opened on first
+access *per thread*, audioset.py:127-128,148-149) via threading.local, and
+its pad/truncate + stride-decimation resample behavior (:50-55,163-177).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional
+
+import numpy as np
+
+from efficientat_tpu.data.audio_io import stride_resample
+from efficientat_tpu.data.core import Dataset
+
+
+def _unpack_target(raw, num_classes: int) -> np.ndarray:
+    raw = np.asarray(raw)
+    if raw.dtype == np.uint8 and raw.size * 8 >= num_classes > raw.size:
+        return np.unpackbits(raw, axis=-1, count=num_classes).astype(np.float32)
+    return raw.astype(np.float32)
+
+
+def pad_or_truncate(x: np.ndarray, audio_length: Optional[int],
+                    rng: Optional[np.random.Generator] = None,
+                    random_offset: bool = False) -> np.ndarray:
+    """Zero-pad to length, or cut (front cut, or random-offset crop when
+    ``random_offset`` — FSD50K's behavior, datasets/fsd50k.py:50-59)."""
+    if audio_length is None:
+        return x
+    if len(x) <= audio_length:
+        return np.concatenate(
+            [x, np.zeros(audio_length - len(x), dtype=np.float32)])
+    if random_offset and rng is not None:
+        off = int(rng.integers(0, len(x) - audio_length + 1))
+        return x[off:off + audio_length]
+    return x[:audio_length]
+
+
+class _LazyH5:
+    """Per-thread lazy h5py file handle."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._local = threading.local()
+
+    @property
+    def file(self):
+        f = getattr(self._local, "f", None)
+        if f is None:
+            import h5py
+
+            f = h5py.File(self.path, "r")
+            self._local.f = f
+        return f
+
+
+class _BaseHdf5Dataset(Dataset):
+    audio_key = None  # set by subclass
+
+    def __init__(self, hdf5_path: str, sample_rate: int = 32000,
+                 clip_length_seconds: Optional[float] = 10.0,
+                 resample_rate: int = 32000, gain_augment: int = 0,
+                 num_classes: Optional[int] = None, random_offset_crop: bool = False):
+        self.h5 = _LazyH5(hdf5_path)
+        self.sample_rate = sample_rate
+        self.resample_rate = resample_rate
+        self.clip_samples = (None if clip_length_seconds is None
+                             else int(clip_length_seconds * sample_rate))
+        self.gain_augment = gain_augment
+        self.num_classes = num_classes
+        self.random_offset_crop = random_offset_crop
+        import h5py
+
+        with h5py.File(hdf5_path, "r") as f:
+            self._len = len(f[self.audio_key])
+
+    def __len__(self):
+        return self._len
+
+    def _decode(self, index: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def get(self, index, rng):
+        wave = self._decode(index)
+        if self.gain_augment:
+            gain = int(rng.integers(0, self.gain_augment * 2)) - self.gain_augment
+            wave = wave * np.float32(10.0 ** (gain / 20.0))
+        wave = pad_or_truncate(wave, self.clip_samples, rng,
+                               self.random_offset_crop)
+        wave = stride_resample(wave, self.sample_rate, self.resample_rate)
+        f = self.h5.file
+        name = f["audio_name"][index]
+        if isinstance(name, bytes):
+            name = name.decode()
+        # filename normalization as the reference: strip 'Y' prefix + '.mp3'
+        # (audioset.py:151-153) so KD teacher-index lookups match
+        if name.endswith(".mp3"):
+            name = name[:-4]
+        if name.startswith("Y"):
+            name = name[1:]
+        target = _unpack_target(f["target"][index],
+                                self.num_classes or 0) if "target" in f else None
+        item = {"wave": wave.astype(np.float32), "fname": name}
+        if target is not None:
+            item["target"] = target
+        return item
+
+
+class MP3Hdf5Dataset(_BaseHdf5Dataset):
+    audio_key = "mp3"
+
+    def _decode(self, index):
+        from efficientat_tpu.data.audio_io import decode_mp3
+
+        blob = np.asarray(self.h5.file["mp3"][index]).tobytes()
+        pcm, _sr = decode_mp3(blob)
+        return pcm.reshape(-1)
+
+
+class PCMHdf5Dataset(_BaseHdf5Dataset):
+    audio_key = "pcm"
+
+    def _decode(self, index):
+        pcm = np.asarray(self.h5.file["pcm"][index])
+        if pcm.dtype == np.int16:
+            return (pcm / 32768.0).astype(np.float32)
+        return pcm.astype(np.float32)
+
+
+def open_audio_hdf5(path: str, **kwargs) -> _BaseHdf5Dataset:
+    """Open either storage format by probing the keys."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        has_pcm = "pcm" in f
+    cls = PCMHdf5Dataset if has_pcm else MP3Hdf5Dataset
+    return cls(path, **kwargs)
+
+
+def write_pcm_hdf5(path: str, waves, targets, names, sample_rate: int = 32000):
+    """Write the PCM HDF5 format (int16 'pcm', float/packed 'target',
+    'audio_name'). Used by converters and test fixtures."""
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        vlen = h5py.special_dtype(vlen=np.dtype("int16"))
+        d = f.create_dataset("pcm", (len(waves),), dtype=vlen)
+        for i, w in enumerate(waves):
+            d[i] = np.clip(np.asarray(w) * 32768.0, -32768, 32767).astype(np.int16)
+        f.create_dataset("target", data=np.asarray(targets))
+        f.create_dataset("audio_name",
+                         data=np.asarray([str(n).encode() for n in names]))
+        f.attrs["sample_rate"] = sample_rate
+
+
+def convert_mp3_hdf5_to_pcm(src: str, dst: str, sample_rate: int = 32000):
+    """One-time migration: reference mp3-HDF5 -> PCM HDF5 (requires PyAV)."""
+    import h5py
+
+    from efficientat_tpu.data.audio_io import decode_mp3
+
+    with h5py.File(src, "r") as fin, h5py.File(dst, "w") as fout:
+        n = len(fin["mp3"])
+        vlen = h5py.special_dtype(vlen=np.dtype("int16"))
+        d = fout.create_dataset("pcm", (n,), dtype=vlen)
+        for i in range(n):
+            pcm, _ = decode_mp3(np.asarray(fin["mp3"][i]).tobytes())
+            d[i] = np.clip(pcm.reshape(-1) * 32768.0, -32768, 32767).astype(np.int16)
+        for key in ("target", "audio_name"):
+            if key in fin:
+                fout.create_dataset(key, data=fin[key][...])
+        fout.attrs["sample_rate"] = sample_rate

@@ -1,0 +1,276 @@
+"""Train / evaluate drivers behind ``python -m efficientat_tpu.cli train <task>``.
+
+One engine for all five reference scripts. Flags mirror the reference
+surfaces (same names/defaults per task, see train/tasks.py) plus:
+--dataset_dir (no edit-the-source constants), --synthetic N (structural
+smoke data), --resume (true resume — absent upstream), --ckpt_dir,
+--export (msgpack weights for the Tagger), --bf16 (compute dtype).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import warnings
+from typing import Optional
+
+import numpy as np
+
+
+def _build_parser(spec):
+    p = argparse.ArgumentParser(prog=f"train {spec.name}")
+    for key, val in spec.defaults.items():
+        if isinstance(val, bool):
+            p.add_argument(f"--{key}", action="store_true", default=val)
+        elif val is None:
+            p.add_argument(f"--{key}", default=None)
+        else:
+            p.add_argument(f"--{key}", type=type(val), default=val)
+    p.add_argument("--dataset_dir", type=str, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use N synthetic clips instead of the real dataset")
+    p.add_argument("--ckpt_dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--export", type=str, default=None,
+                   help="write final weights (msgpack) to this path")
+    p.add_argument("--bf16", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--keep_checkpoints", type=int, default=1)
+    p.add_argument("--experiment_name", type=str, default=None)
+    p.add_argument("--eval_only", action="store_true", default=False)
+    p.add_argument("--weights", type=str, default=None,
+                   help="msgpack weights to load (from --export)")
+    return p
+
+
+def _mel_config(args):
+    from efficientat_tpu.ops.melspec import MelConfig
+
+    return MelConfig(
+        n_mels=args.n_mels, sr=args.resample_rate, win_length=args.window_size,
+        hopsize=args.hop_size, n_fft=args.n_fft, freqm=args.freqm,
+        timem=args.timem, fmin=float(args.fmin),
+        fmax=None if args.fmax in (None, "None") else float(args.fmax),
+        fmin_aug_range=args.fmin_aug_range, fmax_aug_range=args.fmax_aug_range)
+
+
+def _build_model(spec, args, dtype):
+    """Reference model-selection logic (ex_audioset.py:61-70)."""
+    import jax.numpy as jnp
+
+    from efficientat_tpu.models.dymn import DyMN, DyMNConfig
+    from efficientat_tpu.models.mn import MN, MNConfig
+    from efficientat_tpu.utils.common import NAME_TO_WIDTH
+
+    name = args.model_name
+    width = NAME_TO_WIDTH(name) if args.pretrained else args.model_width
+    pretrained_variables = None
+    if args.pretrained:
+        from efficientat_tpu.models.convert import load_pretrained
+
+        model, variables, _ = load_pretrained(name, num_classes=spec.num_classes,
+                                              dtype=dtype)
+        cfg = model.cfg
+        if isinstance(cfg, DyMNConfig):
+            cfg = dataclasses.replace(cfg, t_max=args.pretrain_final_temp)
+            model = DyMN(cfg, dtype=dtype)
+        return model, variables
+    if name.startswith("dymn"):
+        cfg = DyMNConfig(num_classes=spec.num_classes, width_mult=width)
+        return DyMN(cfg, dtype=dtype), None
+    cfg = MNConfig(num_classes=spec.num_classes, width_mult=width,
+                   head_type=args.head_type, se_dims=args.se_dims)
+    return MN(cfg, dtype=dtype), None
+
+
+def _prepare_batch(batch, spec, teacher):
+    out = {"wave": batch["wave"].astype(np.float32)}
+    target = batch["target"]
+    if spec.loss_kind == "ce" and np.asarray(target).ndim == 1:
+        out["target"] = np.asarray(target, np.int32)
+    else:
+        out["target"] = np.asarray(target, np.float32)
+    if teacher is not None:
+        rows, valid = teacher.lookup(batch["fname"])
+        out["teacher"] = rows
+        out["teacher_valid"] = valid
+    return out
+
+
+def _eval_metrics(spec, logits, targets):
+    """Per-task eval metrics from collected logits/targets (numpy)."""
+    from efficientat_tpu.train.metrics import accuracy, macro_metrics
+
+    probs = 1.0 / (1.0 + np.exp(-logits))
+    if spec.metric == "accuracy":
+        tgt = targets if targets.ndim == 1 else targets.argmax(1)
+        logp = logits - logits.max(1, keepdims=True)
+        logz = np.log(np.exp(logp).sum(1))
+        val_loss = float(np.mean(logz - logp[np.arange(len(tgt)), tgt.astype(int)]))
+        return {"accuracy": accuracy(tgt, logits), "val_loss": val_loss}
+    if spec.metric == "masked_map":
+        c = spec.num_classes
+        y = (targets[:, :c] > 0.5).astype(np.float64)
+        mask = targets[:, c:]
+        m_ap, m_roc = macro_metrics(y, probs, sample_weight=mask)
+        bce = -(y * np.log(probs + 1e-12) + (1 - y) * np.log(1 - probs + 1e-12))
+        return {"mAP": m_ap, "ROC": m_roc, "val_loss": float((bce * mask).mean())}
+    y = (targets > 0.5).astype(np.float64)
+    m_ap, m_roc = macro_metrics(y, probs)
+    bce = -(y * np.log(probs + 1e-12) + (1 - y) * np.log(1 - probs + 1e-12))
+    return {"mAP": m_ap, "ROC": m_roc, "val_loss": float(bce.mean())}
+
+
+def _run_eval(spec, je, state, eval_loader, temperature, batch_size):
+    import jax.numpy as jnp
+
+    all_logits, all_targets = [], []
+    for batch in eval_loader.epoch(0):
+        wave = batch["wave"].astype(np.float32)
+        n = wave.shape[0]
+        if n < batch_size:  # pad to the compiled shape
+            wave = np.concatenate(
+                [wave, np.zeros((batch_size - n,) + wave.shape[1:], np.float32)])
+        logits = np.asarray(je(state, jnp.asarray(wave), temperature))[:n]
+        all_logits.append(logits)
+        t = np.asarray(batch["target"])
+        all_targets.append(t if t.ndim > 0 else t[None])
+    return _eval_metrics(spec, np.concatenate(all_logits),
+                         np.concatenate(all_targets))
+
+
+def run_train(task_name: str, argv):
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.data.core import Loader, SequentialSampler
+    from efficientat_tpu.models.dymn import DyMN
+    from efficientat_tpu.parallel import make_mesh, shard_batch
+    from efficientat_tpu.parallel.mesh import replicate
+    from efficientat_tpu.train.loop import (
+        LossConfig, TrainState, create_train_state, jit_steps, make_eval_step,
+        make_optimizer, make_train_step,
+    )
+    from efficientat_tpu.train.schedules import exp_warmup_linear_down, per_epoch_schedule
+    from efficientat_tpu.train.tasks import TASKS, build_datasets
+    from efficientat_tpu.utils.checkpointing import (
+        export_weights, restore_checkpoint, save_checkpoint,
+    )
+    from efficientat_tpu.utils.logging import MetricsLogger
+
+    spec = TASKS[task_name]
+    args = _build_parser(spec).parse_args(argv)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    mel_cfg = _mel_config(args)
+
+    train_ds, sampler, eval_ds = build_datasets(spec, args)
+    train_loader = Loader(train_ds, args.batch_size, sampler=sampler,
+                          num_threads=args.num_workers, drop_last=True,
+                          seed=args.seed)
+    eval_bs = min(args.batch_size, len(eval_ds))
+    eval_loader = Loader(eval_ds, eval_bs, num_threads=args.num_workers,
+                         seed=args.seed)
+
+    model, pretrained_variables = _build_model(spec, args, dtype)
+    steps_per_epoch = max(len(train_loader), 1)
+    lr = args.max_lr if hasattr(args, "max_lr") else args.lr
+    sched = per_epoch_schedule(
+        exp_warmup_linear_down(args.warm_up_len, args.ramp_down_len,
+                               args.ramp_down_start, args.last_lr_value),
+        lr, steps_per_epoch)
+    tx = make_optimizer(sched, args.weight_decay, args.adamw)
+
+    n_frames = mel_cfg.num_frames(int(spec.clip_seconds * mel_cfg.sr))
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), tx,
+                               input_shape=(1, mel_cfg.n_mels, n_frames, 1))
+    if pretrained_variables is not None:
+        state = state.replace(params=pretrained_variables["params"],
+                              batch_stats=pretrained_variables["batch_stats"])
+    if args.weights:
+        from efficientat_tpu.utils.checkpointing import load_weights
+
+        w = load_weights(args.weights)
+        state = state.replace(params=w["params"], batch_stats=w["batch_stats"])
+
+    ckpt_dir = args.ckpt_dir or os.path.join("runs", f"{task_name}-ckpt")
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch = restore_checkpoint(ckpt_dir, state)
+
+    # KD teacher (AudioSet only)
+    teacher = None
+    kd_lambda = getattr(args, "kd_lambda", 0.0)
+    if kd_lambda and kd_lambda > 0 and spec.name == "audioset":
+        if args.synthetic:
+            from efficientat_tpu.train.kd import SyntheticTeacherStore
+
+            teacher = SyntheticTeacherStore(spec.num_classes)
+        else:
+            try:
+                from efficientat_tpu.train.kd import TeacherStore
+
+                teacher = TeacherStore(args.teacher_preds, args.fname_to_index,
+                                       args.temperature)
+            except FileNotFoundError as e:
+                warnings.warn(f"KD disabled: {e}")
+                kd_lambda = 0.0
+
+    loss_cfg = LossConfig(
+        kind=spec.loss_kind,
+        mixup_alpha=args.mixup_alpha,
+        mixstyle_p=getattr(args, "mixstyle_p", 0.0),
+        mixstyle_alpha=getattr(args, "mixstyle_alpha", 0.4),
+        kd_lambda=kd_lambda if teacher is not None else 0.0)
+
+    mesh = make_mesh()
+    jt, je = jit_steps(make_train_step(model, mel_cfg, loss_cfg),
+                       make_eval_step(model, mel_cfg), mesh)
+    state = replicate(state, mesh)
+
+    logger = MetricsLogger(args.experiment_name or f"efficientat-{task_name}",
+                           config=vars(args))
+    rng = jax.random.PRNGKey(args.seed + 1)
+
+    if args.eval_only:
+        temp = jnp.float32(model.cfg.t_max if isinstance(model, DyMN) else 1.0)
+        metrics = _run_eval(spec, je, state, eval_loader, temp, eval_bs)
+        logger.log(metrics)
+        logger.close()
+        return metrics
+
+    for epoch in range(start_epoch, args.n_epochs):
+        if isinstance(model, DyMN):
+            temp = jnp.float32(model.cfg.temperature(epoch))
+        else:
+            temp = jnp.float32(1.0)
+        epoch_metrics = []
+        for batch in train_loader.epoch(epoch):
+            prepared = shard_batch(_prepare_batch(batch, spec, teacher), mesh)
+            state, metrics = jt(state, prepared, rng, temp)
+            epoch_metrics.append(metrics)
+        train_log = {k: float(np.mean([float(m[k]) for m in epoch_metrics]))
+                     for k in epoch_metrics[0]} if epoch_metrics else {}
+        eval_log = _run_eval(spec, je, state, eval_loader, temp, eval_bs)
+        lr_now = float(sched(int(state.step)))
+        logger.log({**train_log, **eval_log, "learning_rate": lr_now,
+                    "epoch": epoch}, step=epoch)
+        save_checkpoint(ckpt_dir, state, epoch, keep=args.keep_checkpoints)
+
+    if args.export:
+        export_weights(args.export, state.params, state.batch_stats)
+    logger.close()
+    return state
+
+
+def run_evaluate(task_name: str, argv):
+    argv = list(argv) + ["--eval_only"]
+    metrics = run_train(task_name, argv)
+    if "mAP" in metrics:
+        print("Results on evaluation split:")
+        print("  mAP: {:.3f}".format(metrics["mAP"]))
+        print("  ROC: {:.3f}".format(metrics["ROC"]))
+    elif "accuracy" in metrics:
+        print("Results on evaluation split:")
+        print("  accuracy: {:.3f}".format(metrics["accuracy"]))
+    return metrics

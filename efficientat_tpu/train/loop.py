@@ -99,7 +99,12 @@ def _task_loss(loss_cfg: LossConfig, logits, batch, perm, lam):
     """Per-task loss. Returns (loss, aux dict)."""
     target = batch["target"]
     if loss_cfg.kind == "ce":
-        ce = optax.softmax_cross_entropy_with_integer_labels
+        # integer labels (DCASE20) or one-hot/soft targets (ESC-50, possibly
+        # pre-mixed by waveform mixup) — both appear in the reference loops
+        if target.ndim == 2:
+            ce = optax.softmax_cross_entropy
+        else:
+            ce = optax.softmax_cross_entropy_with_integer_labels
         if perm is not None:
             samples = ce(logits, target) * lam + ce(logits, target[perm]) * (1.0 - lam)
         else:
