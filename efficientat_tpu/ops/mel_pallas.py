@@ -1,0 +1,201 @@
+"""Fused Pallas TPU kernel for the log-mel front-end.
+
+One kernel per (batch row, 128-frame tile) computes:
+frame assembly -> windowed rDFT GEMM (MXU) -> power -> mel GEMM (MXU)
+-> log -> (x+4.5)/5, with the windowed DFT basis resident in VMEM and the
+frames tile never materialized in HBM (the XLA reference path materializes
+a (B, frames, 1024) fp32 tensor — ~256 MB at batch 64).
+
+Key layout tricks:
+- The Nyquist FFT bin is dropped: the reference's Kaldi mel bank has an
+  all-zero Nyquist column (models/preprocess.py:54), so only n_fft/2 = 512
+  frequency bins contribute — making the DFT basis exactly (1024, 1024)
+  (cos | sin) and the mel bank (512, n_mels): every GEMM dimension is a
+  multiple of 128 (MXU-perfect, no lane padding waste).
+- The waveform arrives pre-emphasized, reflect-padded, and reshaped to
+  64-sample rows (B, R, 64). With hop % 64 == 0 every frame starts on a row
+  boundary, so a frame tile is 16 static slices of a (tile*hop/64 + 16, 64)
+  row window — no gathers, no strided loads. Rows are DMA'd from HBM per
+  tile (manual async copy; tile windows overlap so BlockSpec can't express
+  them).
+
+Supported configs: n_fft = 1024, hop % 64 == 0 (the default 320 and the
+hop-20 variant 640). Other shapes fall back to the XLA GEMM path
+(ops.melspec) automatically via ``log_mel_spectrogram(backend="auto")``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from efficientat_tpu.ops.melspec import MelConfig, _dft_basis
+
+FRAME_TILE = 128
+LANE = 64  # samples per row of the chunked waveform layout
+
+
+def pallas_supported(cfg: MelConfig) -> bool:
+    return cfg.n_fft == 1024 and cfg.hopsize % LANE == 0
+
+
+@functools.lru_cache(maxsize=8)
+def _basis_no_nyquist(n_fft: int, win_length: int) -> np.ndarray:
+    """(n_fft, n_fft) = [cos | sin] windowed basis, Nyquist bin dropped."""
+    full = _dft_basis(n_fft, win_length)  # (n_fft, 2*(n_fft//2+1))
+    n_freq = n_fft // 2 + 1
+    cos = full[:, : n_freq - 1]
+    sin = full[:, n_freq : 2 * n_freq - 1]
+    return np.concatenate([cos, sin], axis=1)  # (1024, 1024)
+
+
+def _mel_kernel(wave_ref, basis_ref, banks_ref, out_ref, scratch, sem,
+                *, hop_rows: int, win_rows: int, n_bins: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    rows_per_tile = FRAME_TILE * hop_rows
+    scratch_rows = scratch.shape[0]  # multiple of hop_rows >= tile + window
+
+    copy = pltpu.make_async_copy(
+        wave_ref.at[b, pl.ds(t * rows_per_tile, scratch_rows)], scratch, sem)
+    copy.start()
+    copy.wait()
+
+    view = scratch[:].reshape(scratch_rows // hop_rows, hop_rows, LANE)
+    parts = [view[(j // hop_rows):(j // hop_rows) + FRAME_TILE, j % hop_rows, :]
+             for j in range(win_rows)]
+    frames = jnp.concatenate(parts, axis=1)  # (FRAME_TILE, n_fft)
+
+    proj = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32)
+    re = proj[:, :n_bins]
+    im = proj[:, n_bins:]
+    power = re * re + im * im  # (FRAME_TILE, n_bins)
+
+    mel = jnp.dot(power, banks_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0] = (jnp.log(mel + 1e-5) + 4.5) / 5.0
+
+
+def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
+                        cfg: MelConfig) -> jnp.ndarray:
+    """Pre-emphasized-raw waveform (B, S) -> normalized log-mel (B, n_mels, frames).
+
+    ``banks`` is the (n_mels, n_fft//2+1) Kaldi bank (possibly per-call
+    jittered); its zero Nyquist column is dropped inside.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert pallas_supported(cfg), "unsupported mel config for the fused kernel"
+    n_fft, hop = cfg.n_fft, cfg.hopsize
+    hop_rows = hop // LANE
+    win_rows = n_fft // LANE
+    n_bins = n_fft // 2
+
+    x = wave[:, 1:] - 0.97 * wave[:, :-1]  # pre-emphasis
+    n_frames = x.shape[1] // hop + 1
+    n_tiles = -(-n_frames // FRAME_TILE)
+
+    pad = n_fft // 2
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    scratch_rows = -(-(FRAME_TILE * hop_rows + win_rows) // hop_rows) * hop_rows
+    rows_needed = n_tiles * FRAME_TILE * hop_rows + scratch_rows
+    total = rows_needed * LANE
+    x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
+    wave2d = x.reshape(x.shape[0], rows_needed, LANE)
+
+    basis = jnp.asarray(_basis_no_nyquist(n_fft, cfg.win_length))
+    banks_t = jnp.transpose(banks[:, :n_bins], (1, 0)).astype(jnp.float32)
+
+    b = wave2d.shape[0]
+    kernel = functools.partial(_mel_kernel, hop_rows=hop_rows,
+                               win_rows=win_rows, n_bins=n_bins)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # wave rows stay in HBM
+            pl.BlockSpec((n_fft, n_fft), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_bins, banks_t.shape[1]), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, FRAME_TILE, banks_t.shape[1]),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles * FRAME_TILE, banks_t.shape[1]),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((scratch_rows, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(wave2d, basis, banks_t)
+
+    # (B, frames_padded, n_mels) -> (B, n_mels, n_frames)
+    return jnp.transpose(out[:, :n_frames, :], (0, 2, 1))
+
+
+def log_mel_spectrogram_fused(
+    waveform: jnp.ndarray,
+    cfg: MelConfig = MelConfig(),
+    *,
+    training: bool = False,
+    rng: Optional[jax.Array] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Drop-in for ops.melspec.log_mel_spectrogram with a fused-kernel path.
+
+    backend: "pallas" (require the kernel), "xla" (reference GEMM path),
+    "auto" (pallas when the config supports it and a TPU is present).
+    """
+    from efficientat_tpu.ops.filterbank import kaldi_mel_banks
+    from efficientat_tpu.ops.melspec import _mask_axis, log_mel_spectrogram
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and pallas_supported(cfg)
+        and jax.default_backend() == "tpu")
+    if not use_pallas:
+        return log_mel_spectrogram(waveform, cfg, training=training, rng=rng)
+
+    if training and rng is None:
+        raise ValueError("training=True requires an rng key")
+
+    fmin = jnp.asarray(cfg.fmin, dtype=jnp.float32)
+    fmax = jnp.asarray(cfg.effective_fmax, dtype=jnp.float32)
+    if training:
+        r_fmin, r_fmax, r_freqm, r_timem = jax.random.split(rng, 4)
+        fmin = fmin + jax.random.randint(r_fmin, (), 0, cfg.fmin_aug_range).astype(jnp.float32)
+        fmax = fmax + cfg.fmax_aug_range // 2 - jax.random.randint(
+            r_fmax, (), 0, cfg.fmax_aug_range).astype(jnp.float32)
+    banks = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, fmin, fmax)
+
+    mel = stft_log_mel_pallas(waveform.astype(jnp.float32), banks, cfg)
+
+    if training:
+        # masks zero the *log-mel* then renormalize — post-kernel the values
+        # are already (log+4.5)/5, so masked cells become (0+4.5)/5 = 0.9
+        if cfg.freqm > 0:
+            mel = _mask_with_value(mel, r_freqm, 1, cfg.freqm)
+        if cfg.timem > 0:
+            mel = _mask_with_value(mel, r_timem, 2, cfg.timem)
+    return mel
+
+
+def _mask_with_value(x, rng, axis, param, value=0.9):
+    """SpecAugment on already-normalized output (fill = (0+4.5)/5)."""
+    b = x.shape[0]
+    d = x.shape[axis]
+    r_w, r_s = jax.random.split(rng)
+    width = jax.random.uniform(r_w, (b,)) * param
+    start = jax.random.uniform(r_s, (b,)) * (d - width)
+    pos = jnp.arange(d, dtype=jnp.float32)
+    mask = (pos[None, :] >= start[:, None]) & (pos[None, :] < (start + width)[:, None])
+    shape = [b, 1, 1]
+    shape[axis] = d
+    return jnp.where(mask.reshape(shape), value, x)
