@@ -24,15 +24,20 @@ def _add_tag(sub):
     p.add_argument("--no-pretrained", action="store_true",
                    help="random weights (pipeline testing without checkpoints)")
     p.add_argument("--model_dir", type=str, default="resources")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 model compute (mel stays fp32)")
     p.set_defaults(fn=_run_tag)
 
 
 def _run_tag(args):
+    import jax.numpy as jnp
+
     from efficientat_tpu.infer.tag import Tagger
 
     names = args.ensemble if args.ensemble else args.model_name
     tagger = Tagger(names, pretrained=not args.no_pretrained,
-                    model_dir=args.model_dir)
+                    model_dir=args.model_dir,
+                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     tags = tagger.tag(args.audio_path)
     print("************* Acoustic Event Detected: *****************")
     for label, prob in tags:

@@ -72,3 +72,19 @@ def tag_audio_window(
             "tags": [(tagger.labels[j], float(p[j])) for j in order],
         })
     return results
+
+
+class EATagger(Tagger):
+    """Drop-in analogue of the reference's ``EATagger``
+    (windowed_inference.py:12-124): construct by model name, call
+    ``tag_audio_window(path, window_size, hop_length)``.
+
+    Unlike the reference, ensembles work here (its ensemble import is dead
+    code, windowed_inference.py:8) and windows run as one device batch.
+    """
+
+    def tag_audio_window(self, audio_path: str, window_size: float = 20.0,
+                         hop_length: float = 10.0, top_k: int = 10,
+                         max_batch=None):
+        return tag_audio_window(self, audio_path, window_size, hop_length,
+                                top_k, max_batch)

@@ -12,12 +12,13 @@ Key layout tricks:
   frequency bins contribute — making the DFT basis exactly (1024, 1024)
   (cos | sin) and the mel bank (512, n_mels): every GEMM dimension is a
   multiple of 128 (MXU-perfect, no lane padding waste).
-- The waveform arrives pre-emphasized, reflect-padded, and reshaped to
-  64-sample rows (B, R, 64). With hop % 64 == 0 every frame starts on a row
-  boundary, so a frame tile is 16 static slices of a (tile*hop/64 + 16, 64)
-  row window — no gathers, no strided loads. Rows are DMA'd from HBM per
-  tile (manual async copy; tile windows overlap so BlockSpec can't express
-  them).
+- The waveform arrives pre-emphasized, reflect-padded, and laid out as
+  128-sample rows that overlap by 64 (row m = samples [64m, 64m+128)); with
+  hop % 64 == 0 every frame is 8 such rows at even 64-chunk offsets, so a
+  frame tile is 8 static slices of a (rows, hop/64, 128) view — lane width
+  is always 128 (Mosaic's tiling requirement; 64-wide lanes are rejected).
+  Rows are DMA'd from HBM per tile (manual async copy; tile windows overlap
+  so BlockSpec can't express them).
 
 Supported configs: n_fft = 1024, hop % 64 == 0 (the default 320 and the
 hop-20 variant 640). Other shapes fall back to the XLA GEMM path
@@ -54,23 +55,26 @@ def _basis_no_nyquist(n_fft: int, win_length: int) -> np.ndarray:
 
 
 def _mel_kernel(wave_ref, basis_ref, banks_ref, out_ref, scratch, sem,
-                *, hop_rows: int, win_rows: int, n_bins: int):
+                *, hop_rows: int, n_parts: int, n_bins: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
     t = pl.program_id(1)
     rows_per_tile = FRAME_TILE * hop_rows
-    scratch_rows = scratch.shape[0]  # multiple of hop_rows >= tile + window
+    scratch_rows = scratch.shape[0]  # multiple of hop_rows >= tile window
 
     copy = pltpu.make_async_copy(
         wave_ref.at[b, pl.ds(t * rows_per_tile, scratch_rows)], scratch, sem)
     copy.start()
     copy.wait()
 
-    view = scratch[:].reshape(scratch_rows // hop_rows, hop_rows, LANE)
-    parts = [view[(j // hop_rows):(j // hop_rows) + FRAME_TILE, j % hop_rows, :]
-             for j in range(win_rows)]
+    # rows are 128 samples overlapping by 64: frame i, part p lives at row
+    # hop_rows*i + 2p -> (group, phase) = (i + 2p//hop_rows, 2p % hop_rows)
+    view = scratch[:].reshape(scratch_rows // hop_rows, hop_rows, 2 * LANE)
+    parts = [view[(2 * p // hop_rows):(2 * p // hop_rows) + FRAME_TILE,
+                  (2 * p) % hop_rows, :]
+             for p in range(n_parts)]
     frames = jnp.concatenate(parts, axis=1)  # (FRAME_TILE, n_fft)
 
     proj = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32)
@@ -94,8 +98,8 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
 
     assert pallas_supported(cfg), "unsupported mel config for the fused kernel"
     n_fft, hop = cfg.n_fft, cfg.hopsize
-    hop_rows = hop // LANE
-    win_rows = n_fft // LANE
+    hop_rows = hop // LANE          # 64-sample chunks per hop
+    n_parts = n_fft // (2 * LANE)   # 128-wide parts per frame
     n_bins = n_fft // 2
 
     x = wave[:, 1:] - 0.97 * wave[:, :-1]  # pre-emphasis
@@ -104,18 +108,23 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
 
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    scratch_rows = -(-(FRAME_TILE * hop_rows + win_rows) // hop_rows) * hop_rows
+    # last row starts at chunk (n_tiles*128-1)*hop_rows + 2*(n_parts-1) and
+    # spans 2 chunks; scratch windows are hop_rows-aligned
+    max_parts_off = 2 * (n_parts - 1)
+    scratch_rows = -(-(FRAME_TILE * hop_rows + max_parts_off) // hop_rows) * hop_rows
     rows_needed = n_tiles * FRAME_TILE * hop_rows + scratch_rows
-    total = rows_needed * LANE
+    total = (rows_needed + 1) * LANE  # +1: rows are 128 wide over 64-chunks
     x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
-    wave2d = x.reshape(x.shape[0], rows_needed, LANE)
+    chunks = x.reshape(x.shape[0], rows_needed + 1, LANE)
+    # overlapping 128-wide rows: row m = [chunk m, chunk m+1]
+    wave2d = jnp.concatenate([chunks[:, :-1], chunks[:, 1:]], axis=-1)
 
     basis = jnp.asarray(_basis_no_nyquist(n_fft, cfg.win_length))
     banks_t = jnp.transpose(banks[:, :n_bins], (1, 0)).astype(jnp.float32)
 
     b = wave2d.shape[0]
     kernel = functools.partial(_mel_kernel, hop_rows=hop_rows,
-                               win_rows=win_rows, n_bins=n_bins)
+                               n_parts=n_parts, n_bins=n_bins)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
@@ -132,7 +141,7 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * FRAME_TILE, banks_t.shape[1]),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((scratch_rows, LANE), jnp.float32),
+            pltpu.VMEM((scratch_rows, 2 * LANE), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(wave2d, basis, banks_t)

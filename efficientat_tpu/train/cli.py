@@ -223,7 +223,12 @@ def run_train(task_name: str, argv):
         mixstyle_alpha=getattr(args, "mixstyle_alpha", 0.4),
         kd_lambda=kd_lambda if teacher is not None else 0.0)
 
-    mesh = make_mesh()
+    # the data axis must divide both batch sizes; shrink the mesh if needed
+    import math
+
+    n_dev = len(jax.devices())
+    mesh_size = math.gcd(math.gcd(args.batch_size, eval_bs), n_dev)
+    mesh = make_mesh(mesh_size)
     jt, je = jit_steps(make_train_step(model, mel_cfg, loss_cfg),
                        make_eval_step(model, mel_cfg), mesh)
     state = replicate(state, mesh)
