@@ -51,7 +51,8 @@ def measure_tpu(batch=BATCH, iters=ITERS) -> float:
 
     _setup_jax_cache()
     from efficientat_tpu.models import MN, MNConfig
-    from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram
+    from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
+    from efficientat_tpu.ops.melspec import MelConfig
 
     mel_cfg = MelConfig()
     model = MN(MNConfig())
@@ -62,7 +63,7 @@ def measure_tpu(batch=BATCH, iters=ITERS) -> float:
 
     @jax.jit
     def forward(variables, waves, eps):
-        mel = log_mel_spectrogram(waves + eps, mel_cfg)
+        mel = log_mel_spectrogram_fused(waves + eps, mel_cfg)
         logits, _ = model.apply(variables, mel[..., None])
         return jnp.sum(jax.nn.sigmoid(logits))
 

@@ -18,7 +18,8 @@ import numpy as np
 
 from efficientat_tpu.models.dymn import DyMN
 from efficientat_tpu.models.registry import build_model, get_model_config
-from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram
+from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
+from efficientat_tpu.ops.melspec import MelConfig
 from efficientat_tpu.utils.labels import AUDIOSET_LABELS
 
 
@@ -67,7 +68,7 @@ class Tagger:
         members = self.members
 
         def fn(variables_list, waves):
-            mel = log_mel_spectrogram(waves, mel_cfg)  # (B, n_mels, frames)
+            mel = log_mel_spectrogram_fused(waves, mel_cfg)  # (B, n_mels, frames)
             x = mel[..., None]  # NHWC: (B, F, T, 1)
             logits_sum = None
             for (model, _), variables in zip(members, variables_list):

@@ -54,35 +54,34 @@ def _basis_no_nyquist(n_fft: int, win_length: int) -> np.ndarray:
     return np.concatenate([cos, sin], axis=1)  # (1024, 1024)
 
 
-def _mel_kernel(wave_ref, basis_ref, banks_ref, out_ref, scratch, sem,
-                *, hop_rows: int, n_parts: int, n_bins: int):
+def _mel_kernel(wave_ref, basis_ref, banks_ref, out_ref,
+                *, hop_rows: int, n_parts: int, n_bins: int,
+                scratch_rows: int):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    b = pl.program_id(0)
     t = pl.program_id(1)
     rows_per_tile = FRAME_TILE * hop_rows
-    scratch_rows = scratch.shape[0]  # multiple of hop_rows >= tile window
 
-    copy = pltpu.make_async_copy(
-        wave_ref.at[b, pl.ds(t * rows_per_tile, scratch_rows)], scratch, sem)
-    copy.start()
-    copy.wait()
-
+    window = wave_ref[0, pl.ds(t * rows_per_tile, scratch_rows), :]
     # rows are 128 samples overlapping by 64: frame i, part p lives at row
     # hop_rows*i + 2p -> (group, phase) = (i + 2p//hop_rows, 2p % hop_rows)
-    view = scratch[:].reshape(scratch_rows // hop_rows, hop_rows, 2 * LANE)
+    view = window.reshape(scratch_rows // hop_rows, hop_rows, 2 * LANE)
     parts = [view[(2 * p // hop_rows):(2 * p // hop_rows) + FRAME_TILE,
                   (2 * p) % hop_rows, :]
              for p in range(n_parts)]
     frames = jnp.concatenate(parts, axis=1)  # (FRAME_TILE, n_fft)
 
-    proj = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32)
+    # Precision.HIGHEST = true fp32 MXU passes; the default single-pass
+    # mode truncates to bf16, which is catastrophic at spectral nulls
+    # (power ~ 0 from cancellation) once the log is taken.
+    proj = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     re = proj[:, :n_bins]
     im = proj[:, n_bins:]
     power = re * re + im * im  # (FRAME_TILE, n_bins)
 
-    mel = jnp.dot(power, banks_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, banks_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     out_ref[0] = (jnp.log(mel + 1e-5) + 4.5) / 5.0
 
 
@@ -124,12 +123,17 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
 
     b = wave2d.shape[0]
     kernel = functools.partial(_mel_kernel, hop_rows=hop_rows,
-                               n_parts=n_parts, n_bins=n_bins)
+                               n_parts=n_parts, n_bins=n_bins,
+                               scratch_rows=scratch_rows)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # wave rows stay in HBM
+            # whole (padded) row track of one clip; the same block is
+            # revisited for all frame tiles of a batch row, so Pallas
+            # fetches it from HBM once per clip
+            pl.BlockSpec((1, rows_needed, 2 * LANE), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((n_fft, n_fft), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n_bins, banks_t.shape[1]), lambda b, t: (0, 0),
@@ -140,10 +144,6 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * FRAME_TILE, banks_t.shape[1]),
                                        jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((scratch_rows, 2 * LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
     )(wave2d, basis, banks_t)
 
     # (B, frames_padded, n_mels) -> (B, n_mels, n_frames)
@@ -166,9 +166,12 @@ def log_mel_spectrogram_fused(
     from efficientat_tpu.ops.filterbank import kaldi_mel_banks
     from efficientat_tpu.ops.melspec import _mask_axis, log_mel_spectrogram
 
+    # auto: fused kernel on a single TPU chip. (Under a multi-chip mesh the
+    # pallas_call would need a shard_map wrapper over the batch axis to
+    # partition cleanly — until then multichip uses the XLA path.)
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_supported(cfg)
-        and jax.default_backend() == "tpu")
+        and jax.default_backend() == "tpu" and jax.device_count() == 1)
     if not use_pallas:
         return log_mel_spectrogram(waveform, cfg, training=training, rng=rng)
 

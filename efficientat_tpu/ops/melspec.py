@@ -139,8 +139,12 @@ def stft_power(x: jnp.ndarray, n_fft: int, hop: int, win_length: int) -> jnp.nda
     n_frames = x.shape[1] // hop + 1
     frames = frame_signal(x, n_fft, hop, n_frames)
     basis = jnp.asarray(_dft_basis(n_fft, win_length))
+    # Precision.HIGHEST: true fp32 multiplies on TPU (the MXU's default
+    # single-pass mode truncates operands to bf16; the reference's fp32
+    # mel pipeline parity requires full precision here)
     proj = jnp.einsum("btn,nk->btk", frames, basis,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     n_freq = n_fft // 2 + 1
     re, im = proj[..., :n_freq], proj[..., n_freq:]
     return re * re + im * im
@@ -199,7 +203,8 @@ def log_mel_spectrogram(
 
     banks = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, fmin, fmax)
     mel = jnp.einsum("mf,btf->bmt", banks, spec,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     mel = jnp.log(mel + 1e-5)
 
     if training:

@@ -32,7 +32,8 @@ from flax import struct
 from flax.training import train_state
 
 from efficientat_tpu.models.dymn import DyMN
-from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram
+from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
+from efficientat_tpu.ops.melspec import MelConfig
 from efficientat_tpu.train.augment import apply_mixup, mixstyle, mixup_coefficients
 
 
@@ -151,7 +152,7 @@ def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig) -> Callable
         r_mel, r_mix, r_style, r_drop = jax.random.split(
             jax.random.fold_in(rng, state.step), 4)
 
-        mel = log_mel_spectrogram(batch["wave"], mel_cfg, training=True, rng=r_mel)
+        mel = log_mel_spectrogram_fused(batch["wave"], mel_cfg, training=True, rng=r_mel)
         x = mel[..., None]
 
         perm = lam = None
@@ -180,7 +181,7 @@ def make_eval_step(model, mel_cfg: MelConfig) -> Callable:
     """Jittable eval step: (state, wave, temperature) -> (logits, loss-ready logits)."""
 
     def eval_step(state: TrainState, wave: jnp.ndarray, temperature: jnp.ndarray):
-        mel = log_mel_spectrogram(wave, mel_cfg, training=False)
+        mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False)
         logits, _, _ = _model_forward(model, state.params, state.batch_stats,
                                       mel[..., None], False, temperature)
         return logits
