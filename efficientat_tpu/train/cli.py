@@ -38,6 +38,9 @@ def _build_parser(spec):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--keep_checkpoints", type=int, default=1)
     p.add_argument("--experiment_name", type=str, default=None)
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="devices in the data-parallel mesh (default: all; "
+                        "the Lightning variant's flag, ex_pl_audioset.py:306)")
     p.add_argument("--eval_only", action="store_true", default=False)
     p.add_argument("--weights", type=str, default=None,
                    help="msgpack weights to load (from --export)")
@@ -226,7 +229,7 @@ def run_train(task_name: str, argv):
     # the data axis must divide both batch sizes; shrink the mesh if needed
     import math
 
-    n_dev = len(jax.devices())
+    n_dev = args.num_devices or len(jax.devices())
     mesh_size = math.gcd(math.gcd(args.batch_size, eval_bs), n_dev)
     mesh = make_mesh(mesh_size)
     jt, je = jit_steps(make_train_step(model, mel_cfg, loss_cfg),
