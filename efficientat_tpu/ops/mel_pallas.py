@@ -150,6 +150,25 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
     return jnp.transpose(out[:, :n_frames, :], (0, 2, 1))
 
 
+def stft_log_mel_pallas_sharded(wave, banks, cfg: MelConfig, mesh,
+                                axis: str = "data"):
+    """Fused kernel under a data-parallel mesh: shard_map over the batch.
+
+    Each device runs the pallas kernel on its batch shard; the bank matrix
+    is replicated. Batch must divide the mesh's ``axis`` size.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        lambda w, b: stft_log_mel_pallas(w, b, cfg),
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
+    )
+    return fn(wave, banks)
+
+
 def log_mel_spectrogram_fused(
     waveform: jnp.ndarray,
     cfg: MelConfig = MelConfig(),
@@ -157,21 +176,22 @@ def log_mel_spectrogram_fused(
     training: bool = False,
     rng: Optional[jax.Array] = None,
     backend: str = "auto",
+    mesh=None,
 ) -> jnp.ndarray:
     """Drop-in for ops.melspec.log_mel_spectrogram with a fused-kernel path.
 
     backend: "pallas" (require the kernel), "xla" (reference GEMM path),
     "auto" (pallas when the config supports it and a TPU is present).
+    Under a multi-device mesh pass ``mesh`` so the kernel is shard_mapped
+    over the batch axis; without it, auto falls back to XLA on >1 device.
     """
     from efficientat_tpu.ops.filterbank import kaldi_mel_banks
     from efficientat_tpu.ops.melspec import _mask_axis, log_mel_spectrogram
 
-    # auto: fused kernel on a single TPU chip. (Under a multi-chip mesh the
-    # pallas_call would need a shard_map wrapper over the batch axis to
-    # partition cleanly — until then multichip uses the XLA path.)
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_supported(cfg)
-        and jax.default_backend() == "tpu" and jax.device_count() == 1)
+        and jax.default_backend() == "tpu"
+        and (jax.device_count() == 1 or mesh is not None))
     if not use_pallas:
         return log_mel_spectrogram(waveform, cfg, training=training, rng=rng)
 
@@ -187,7 +207,11 @@ def log_mel_spectrogram_fused(
             r_fmax, (), 0, cfg.fmax_aug_range).astype(jnp.float32)
     banks = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, fmin, fmax)
 
-    mel = stft_log_mel_pallas(waveform.astype(jnp.float32), banks, cfg)
+    wave32 = waveform.astype(jnp.float32)
+    if mesh is not None and len(mesh.devices.reshape(-1)) > 1:
+        mel = stft_log_mel_pallas_sharded(wave32, banks, cfg, mesh)
+    else:
+        mel = stft_log_mel_pallas(wave32, banks, cfg)
 
     if training:
         # masks zero the *log-mel* then renormalize — post-kernel the values

@@ -232,8 +232,8 @@ def run_train(task_name: str, argv):
     n_dev = args.num_devices or len(jax.devices())
     mesh_size = math.gcd(math.gcd(args.batch_size, eval_bs), n_dev)
     mesh = make_mesh(mesh_size)
-    jt, je = jit_steps(make_train_step(model, mel_cfg, loss_cfg),
-                       make_eval_step(model, mel_cfg), mesh)
+    jt, je = jit_steps(make_train_step(model, mel_cfg, loss_cfg, mesh),
+                       make_eval_step(model, mel_cfg, mesh), mesh)
     state = replicate(state, mesh)
 
     logger = MetricsLogger(args.experiment_name or f"efficientat-{task_name}",

@@ -142,7 +142,8 @@ def _task_loss(loss_cfg: LossConfig, logits, batch, perm, lam):
     return loss, {"label_loss": label_loss, "distillation_loss": soft}
 
 
-def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig) -> Callable:
+def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig,
+                    mesh=None) -> Callable:
     """Build the jittable train step: (state, batch, rng, temperature) ->
     (state, metrics). ``batch`` holds host arrays: wave (B, T), target, and
     for KD teacher/teacher_valid."""
@@ -152,7 +153,8 @@ def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig) -> Callable
         r_mel, r_mix, r_style, r_drop = jax.random.split(
             jax.random.fold_in(rng, state.step), 4)
 
-        mel = log_mel_spectrogram_fused(batch["wave"], mel_cfg, training=True, rng=r_mel)
+        mel = log_mel_spectrogram_fused(batch["wave"], mel_cfg, training=True,
+                                        rng=r_mel, mesh=mesh)
         x = mel[..., None]
 
         perm = lam = None
@@ -177,11 +179,11 @@ def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig) -> Callable
     return train_step
 
 
-def make_eval_step(model, mel_cfg: MelConfig) -> Callable:
+def make_eval_step(model, mel_cfg: MelConfig, mesh=None) -> Callable:
     """Jittable eval step: (state, wave, temperature) -> (logits, loss-ready logits)."""
 
     def eval_step(state: TrainState, wave: jnp.ndarray, temperature: jnp.ndarray):
-        mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False)
+        mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False, mesh=mesh)
         logits, _, _ = _model_forward(model, state.params, state.batch_stats,
                                       mel[..., None], False, temperature)
         return logits

@@ -58,3 +58,21 @@ def test_fused_training_masks_interpret():
     out = np.asarray(out)
     assert out.shape == (2, 128, 100)
     assert (out == 0.9).sum() > 0  # SpecAugment fill value present
+
+
+def test_fused_sharded_over_mesh_interpret():
+    """shard_map'd kernel over a 4-device CPU mesh == XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from efficientat_tpu.parallel import make_mesh, shard_batch
+
+    cfg = MelConfig()
+    wave = np.random.default_rng(5).normal(size=(8, 32000)).astype(np.float32) * 0.1
+    mesh = make_mesh(4)
+    w = shard_batch({"w": jnp.asarray(wave)}, mesh)["w"]
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(jax.jit(
+            lambda x: mel_pallas.log_mel_spectrogram_fused(
+                x, cfg, backend="pallas", mesh=mesh))(w))
+    want = np.asarray(log_mel_spectrogram(wave, cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
