@@ -183,6 +183,26 @@ class SequentialSampler:
         return idx
 
 
+def bucket_pad_collate(bucket_samples: int = 32000):
+    """Collate for variable-length waveforms: pad every clip in the batch to
+    the batch max rounded up to a multiple of ``bucket_samples`` (limits the
+    number of distinct compiled shapes), and emit ``wave_samples`` with the
+    true lengths for masked pooling."""
+
+    def collate(items):
+        items = [dict(it) for it in items]
+        lens = np.asarray([len(it["wave"]) for it in items], np.int32)
+        target = int(-(-lens.max() // bucket_samples) * bucket_samples)
+        for it in items:
+            it["wave"] = np.pad(np.asarray(it["wave"], np.float32),
+                                (0, target - len(it["wave"])))
+        out = _collate(items)
+        out["wave_samples"] = lens
+        return out
+
+    return collate
+
+
 def _collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for key in items[0]:
@@ -205,7 +225,7 @@ class Loader:
 
     def __init__(self, dataset: Dataset, batch_size: int, sampler=None,
                  num_threads: int = 8, drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 4):
+                 prefetch: int = 4, collate_fn=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler or SequentialSampler(len(dataset))
@@ -213,6 +233,7 @@ class Loader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.collate_fn = collate_fn or _collate
 
     def __len__(self):
         n = len(self.sampler.indices(0))
@@ -233,7 +254,7 @@ class Loader:
                 rng = np.random.default_rng(
                     np.random.SeedSequence([self.seed, epoch, int(idx)]))
                 items.append(self.dataset.get(int(idx), rng))
-            return _collate(items)
+            return self.collate_fn(items)
 
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             futures = queue.Queue()

@@ -32,6 +32,7 @@ from flax import linen as nn
 
 from efficientat_tpu.models.layers import (
     ACTIVATIONS,
+    masked_time_mean,
     BN_EPS,
     BN_MOMENTUM,
     BlockConfig,
@@ -354,10 +355,11 @@ class DyMN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, temperature=1.0):
+    def __call__(self, x, train: bool = False, temperature=1.0, time_valid=None):
         """x: (B, F, T, C_in) -> (logits, embedding). ``temperature`` may be a
         python float or traced scalar; pass the per-epoch value from
-        ``cfg.temperature(epoch)`` during training."""
+        ``cfg.temperature(epoch)`` during training. ``time_valid``: valid
+        output frame counts for masked variable-length pooling."""
         cfg = self.cfg
         table, last_channel = cfg.block_table()
         dy_mask = cfg.dy_mask()
@@ -379,14 +381,17 @@ class DyMN(nn.Module):
         x = ConvNormAct(6 * table[-1].out_channels, 1, dtype=self.dtype,
                         name="tail")(x, train)
 
-        embedding = jnp.mean(x, axis=(1, 2))
+        if time_valid is not None:
+            embedding = masked_time_mean(x, time_valid)
+        else:
+            embedding = jnp.mean(x, axis=(1, 2))
 
         if cfg.head_type == "mlp":
             logits = MlpHead(last_channel, cfg.num_classes, cfg.dropout,
-                             dtype=self.dtype, name="head")(x, train)
+                             dtype=self.dtype, name="head")(x, train, time_valid)
         elif cfg.head_type == "fully_convolutional":
             logits = FullyConvHead(cfg.num_classes, dtype=self.dtype,
-                                   name="head")(x, train)
+                                   name="head")(x, train, time_valid)
         else:
             raise NotImplementedError(
                 f"Head '{cfg.head_type}' unknown. Must be one of: 'mlp', "

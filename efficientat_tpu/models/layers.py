@@ -220,6 +220,18 @@ class InvertedResidual(nn.Module):
         return x
 
 
+def masked_time_mean(x: jnp.ndarray, time_valid) -> jnp.ndarray:
+    """Mean over (F, T) of NHWC x, counting only the first ``time_valid[b]``
+    frames per sample. Enables bucket-padded variable-length evaluation
+    (the reference instead evaluates exact lengths at batch 1,
+    ex_fsd50k.py:73-77)."""
+    t = x.shape[2]
+    mask = (jnp.arange(t)[None, :] < time_valid[:, None]).astype(x.dtype)
+    x = x * mask[:, None, :, None]
+    denom = (x.shape[1] * time_valid).astype(x.dtype)[:, None]
+    return x.sum(axis=(1, 2)) / denom
+
+
 class MultiHeadAttentionPooling(nn.Module):
     """PSLA-style attention pooling head (models/mn/attention_pooling.py:9-56).
 
@@ -236,7 +248,7 @@ class MultiHeadAttentionPooling(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, time_valid=None):
         x = jnp.mean(x, axis=1)  # (B, T, C)
         b, n, _ = x.shape
         proj = nn.Dense(self.out_dim * 2 * self.num_heads, kernel_init=dense_init,
@@ -245,6 +257,9 @@ class MultiHeadAttentionPooling(nn.Module):
         att = jnp.transpose(proj[:, :, 0], (0, 2, 1, 3))  # (B, heads, T, out)
         val = jnp.transpose(proj[:, :, 1], (0, 2, 1, 3))
         att = jnp.clip(nn.sigmoid(att), self.epsilon, 1.0 - self.epsilon)
+        if time_valid is not None:
+            tmask = (jnp.arange(n)[None, :] < time_valid[:, None])
+            att = jnp.where(tmask[:, None, :, None], att, 0.0)
         att = att / jnp.sum(att, axis=2, keepdims=True)
         out = jnp.sum(att * val, axis=2)  # (B, heads, out)
         head_weight = self.param(
@@ -263,8 +278,11 @@ class MlpHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = jnp.mean(x, axis=(1, 2))  # (B, C)
+    def __call__(self, x, train: bool = False, time_valid=None):
+        if time_valid is not None:
+            x = masked_time_mean(x, time_valid)
+        else:
+            x = jnp.mean(x, axis=(1, 2))  # (B, C)
         x = nn.Dense(self.last_channel, kernel_init=dense_init, dtype=self.dtype,
                      name="hidden")(x)
         x = nn.hard_swish(x)
@@ -280,10 +298,12 @@ class FullyConvHead(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, time_valid=None):
         x = nn.Conv(self.num_classes, (1, 1), use_bias=False, kernel_init=conv_init,
                     dtype=self.dtype, name="conv")(x)
         # torch default BN here: eps=1e-5, momentum 0.1 (models/mn/model.py:183)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn")(x)
+        if time_valid is not None:
+            return masked_time_mean(x, time_valid)
         return jnp.mean(x, axis=(1, 2))

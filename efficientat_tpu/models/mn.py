@@ -25,6 +25,7 @@ from efficientat_tpu.models.layers import (
     InvertedResidual,
     MlpHead,
     MultiHeadAttentionPooling,
+    masked_time_mean,
 )
 from efficientat_tpu.utils.common import cnn_out_size, make_divisible
 
@@ -107,8 +108,12 @@ class MN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        """x: (B, F, T, C_in) -> (logits (B, classes), embedding (B, C_feat))."""
+    def __call__(self, x, train: bool = False, time_valid=None):
+        """x: (B, F, T, C_in) -> (logits (B, classes), embedding (B, C_feat)).
+
+        ``time_valid`` (B,): number of valid OUTPUT time frames per sample
+        (see ``output_time_frames``); enables bucket-padded variable-length
+        evaluation with masked pooling."""
         cfg = self.cfg
         table, last_channel = cfg.block_table()
         fm_sizes = cfg.feature_map_sizes()
@@ -123,20 +128,43 @@ class MN(nn.Module):
         x = ConvNormAct(6 * table[-1].out_channels, 1, dtype=self.dtype,
                         name="tail")(x, train)
 
-        embedding = jnp.mean(x, axis=(1, 2))
+        if time_valid is not None:
+            embedding = masked_time_mean(x, time_valid)
+        else:
+            embedding = jnp.mean(x, axis=(1, 2))
 
         if cfg.head_type == "mlp":
             logits = MlpHead(last_channel, cfg.num_classes, cfg.dropout,
-                             dtype=self.dtype, name="head")(x, train)
+                             dtype=self.dtype, name="head")(x, train, time_valid)
         elif cfg.head_type == "fully_convolutional":
             logits = FullyConvHead(cfg.num_classes, dtype=self.dtype,
-                                   name="head")(x, train)
+                                   name="head")(x, train, time_valid)
         elif cfg.head_type == "multihead_attention_pooling":
             logits = MultiHeadAttentionPooling(
                 6 * table[-1].out_channels, cfg.num_classes,
-                cfg.multihead_attention_heads, dtype=self.dtype, name="head")(x)
+                cfg.multihead_attention_heads, dtype=self.dtype,
+                name="head")(x, time_valid)
         else:
             raise NotImplementedError(
                 f"Head '{cfg.head_type}' unknown. Must be one of: 'mlp', "
                 f"'fully_convolutional', 'multihead_attention_pooling'")
         return logits, embedding
+
+
+def output_time_frames(cfg, t_in):
+    """Valid output-time-frame count after the conv stack, for masked pooling.
+
+    Works elementwise on ints or integer arrays (jnp/np).
+    """
+    import numpy as _np
+
+    def conv_out(t, k, s, d):
+        pad = (k - 1) // 2 * d
+        return (t + 2 * pad - d * (k - 1) - 1) // s + 1
+
+    table, _ = cfg.block_table()
+    t = conv_out(t_in, cfg.in_conv_kernel, cfg.in_conv_stride, 1)
+    for cnf in table:
+        stride = 1 if cnf.dilation > 1 else cnf.stride
+        t = conv_out(t, cnf.kernel, stride, cnf.dilation)
+    return t

@@ -125,7 +125,9 @@ def _eval_metrics(spec, logits, targets):
     return {"mAP": m_ap, "ROC": m_roc, "val_loss": float(bce.mean())}
 
 
-def _run_eval(spec, je, state, eval_loader, temperature, batch_size):
+def _run_eval(spec, je, state, eval_loader, temperature, batch_size,
+              variable_cfg=None):
+    """variable_cfg: (model_cfg, mel_cfg) enables masked variable-length eval."""
     import jax.numpy as jnp
 
     all_logits, all_targets = [], []
@@ -135,7 +137,18 @@ def _run_eval(spec, je, state, eval_loader, temperature, batch_size):
         if n < batch_size:  # pad to the compiled shape
             wave = np.concatenate(
                 [wave, np.zeros((batch_size - n,) + wave.shape[1:], np.float32)])
-        logits = np.asarray(je(state, jnp.asarray(wave), temperature))[:n]
+        if variable_cfg is not None:
+            from efficientat_tpu.models.mn import output_time_frames
+
+            model_cfg, mel_cfg = variable_cfg
+            samples = np.asarray(batch["wave_samples"], np.int64)
+            frames = (samples - 1) // mel_cfg.hopsize + 1
+            tv = output_time_frames(model_cfg, frames).astype(np.int32)
+            tv = np.concatenate([tv, np.ones(wave.shape[0] - n, np.int32)])
+            logits = np.asarray(je(state, jnp.asarray(wave), temperature,
+                                   jnp.asarray(tv)))[:n]
+        else:
+            logits = np.asarray(je(state, jnp.asarray(wave), temperature))[:n]
         all_logits.append(logits)
         t = np.asarray(batch["target"])
         all_targets.append(t if t.ndim > 0 else t[None])
@@ -171,9 +184,17 @@ def run_train(task_name: str, argv):
     train_loader = Loader(train_ds, args.batch_size, sampler=sampler,
                           num_threads=args.num_workers, drop_last=True,
                           seed=args.seed)
+    variable_eval = bool(getattr(args, "variable_eval_length", False))
     eval_bs = min(args.batch_size, len(eval_ds))
-    eval_loader = Loader(eval_ds, eval_bs, num_threads=args.num_workers,
-                         seed=args.seed)
+    if variable_eval:
+        from efficientat_tpu.data.core import bucket_pad_collate
+
+        eval_loader = Loader(eval_ds, eval_bs, num_threads=args.num_workers,
+                             seed=args.seed,
+                             collate_fn=bucket_pad_collate(args.resample_rate))
+    else:
+        eval_loader = Loader(eval_ds, eval_bs, num_threads=args.num_workers,
+                             seed=args.seed)
 
     model, pretrained_variables = _build_model(spec, args, dtype)
     steps_per_epoch = max(len(train_loader), 1)
@@ -233,16 +254,18 @@ def run_train(task_name: str, argv):
     mesh_size = math.gcd(math.gcd(args.batch_size, eval_bs), n_dev)
     mesh = make_mesh(mesh_size)
     jt, je = jit_steps(make_train_step(model, mel_cfg, loss_cfg, mesh),
-                       make_eval_step(model, mel_cfg, mesh), mesh)
+                       make_eval_step(model, mel_cfg, mesh,
+                                      masked=variable_eval), mesh)
     state = replicate(state, mesh)
 
     logger = MetricsLogger(args.experiment_name or f"efficientat-{task_name}",
                            config=vars(args))
     rng = jax.random.PRNGKey(args.seed + 1)
 
+    var_cfg = (model.cfg, mel_cfg) if variable_eval else None
     if args.eval_only:
         temp = jnp.float32(model.cfg.t_max if isinstance(model, DyMN) else 1.0)
-        metrics = _run_eval(spec, je, state, eval_loader, temp, eval_bs)
+        metrics = _run_eval(spec, je, state, eval_loader, temp, eval_bs, var_cfg)
         logger.log(metrics)
         logger.close()
         return metrics
@@ -259,7 +282,7 @@ def run_train(task_name: str, argv):
             epoch_metrics.append(metrics)
         train_log = {k: float(np.mean([float(m[k]) for m in epoch_metrics]))
                      for k in epoch_metrics[0]} if epoch_metrics else {}
-        eval_log = _run_eval(spec, je, state, eval_loader, temp, eval_bs)
+        eval_log = _run_eval(spec, je, state, eval_loader, temp, eval_bs, var_cfg)
         lr_now = float(sched(int(state.step)))
         logger.log({**train_log, **eval_log, "learning_rate": lr_now,
                     "epoch": epoch}, step=epoch)

@@ -76,13 +76,12 @@ def create_train_state(model, rng, tx, input_shape=(1, 128, 1000, 1)) -> TrainSt
 
 
 def _model_forward(model, params, batch_stats, x, train: bool, temperature,
-                   dropout_rng=None):
+                   dropout_rng=None, time_valid=None):
     variables = {"params": params, "batch_stats": batch_stats}
-    kwargs = {}
     if isinstance(model, DyMN):
-        args = (x, train, temperature)
+        args = (x, train, temperature, time_valid)
     else:
-        args = (x, train)
+        args = (x, train, time_valid)
     if train:
         (logits, emb), mutated = model.apply(
             variables, *args, mutable=["batch_stats"],
@@ -179,8 +178,26 @@ def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig,
     return train_step
 
 
-def make_eval_step(model, mel_cfg: MelConfig, mesh=None) -> Callable:
-    """Jittable eval step: (state, wave, temperature) -> (logits, loss-ready logits)."""
+def make_eval_step(model, mel_cfg: MelConfig, mesh=None,
+                   masked: bool = False) -> Callable:
+    """Jittable eval step: (state, wave, temperature[, time_valid]) -> logits.
+
+    With ``masked=True`` the step takes a per-sample valid-output-frame
+    count and pools only valid frames (bucket-padded variable-length eval,
+    the batched counterpart of the reference's batch-1 exact-length mode,
+    ex_fsd50k.py:73-77).
+    """
+
+    if masked:
+        def eval_step(state: TrainState, wave: jnp.ndarray,
+                      temperature: jnp.ndarray, time_valid: jnp.ndarray):
+            mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False, mesh=mesh)
+            logits, _, _ = _model_forward(model, state.params, state.batch_stats,
+                                          mel[..., None], False, temperature,
+                                          time_valid=time_valid)
+            return logits
+
+        return eval_step
 
     def eval_step(state: TrainState, wave: jnp.ndarray, temperature: jnp.ndarray):
         mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False, mesh=mesh)
@@ -206,5 +223,7 @@ def jit_steps(train_step, eval_step, mesh=None, donate_state: bool = True):
         in_shardings=(repl, data, repl, repl),
         donate_argnums=(0,) if donate_state else (),
     )
-    je = jax.jit(eval_step, in_shardings=(repl, data, repl))
+    # eval inputs inherit shardings from their placement (state replicated,
+    # host arrays committed per call); works for both eval signatures
+    je = jax.jit(eval_step)
     return jt, je

@@ -43,3 +43,76 @@ def test_train_dcase_mixstyle_synthetic(tmp_path):
                     "--mixstyle_p", "0.5",
                     "--ckpt_dir", str(tmp_path / "c")])
     assert int(state.step) == 2
+
+
+def test_masked_pooling_full_length_equals_unmasked():
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.models import MN, MNConfig
+    from efficientat_tpu.models.mn import output_time_frames
+
+    model = MN(MNConfig(width_mult=0.1, num_classes=7))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 64, 1)),
+                    jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x)
+    full = output_time_frames(model.cfg, 64)
+    l_plain, e_plain = model.apply(v, x)
+    l_masked, e_masked = model.apply(v, x, False, jnp.full((2,), full, jnp.int32))
+    np.testing.assert_allclose(np.asarray(l_plain), np.asarray(l_masked), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e_plain), np.asarray(e_masked), rtol=1e-5, atol=1e-6)
+
+    # shorter mask leaves other samples untouched
+    l_short, e_short = model.apply(v, x, False, jnp.array([1, full], jnp.int32))
+    np.testing.assert_allclose(np.asarray(e_short)[1], np.asarray(e_plain)[1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(l_short)[1], np.asarray(l_plain)[1],
+                               rtol=1e-5, atol=1e-6)
+
+    # layer-level semantics: masked mean == mean over the valid prefix
+    from efficientat_tpu.models.layers import masked_time_mean
+
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(2, 3, 5, 4)), jnp.float32)
+    got = masked_time_mean(z, jnp.array([2, 5], jnp.int32))
+    want0 = np.asarray(z)[0, :, :2].mean(axis=(0, 1))
+    want1 = np.asarray(z)[1].mean(axis=(0, 1))
+    np.testing.assert_allclose(np.asarray(got)[0], want0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got)[1], want1, rtol=1e-6)
+
+
+def test_variable_eval_fsd50k_style(tmp_path):
+    """Bucketed masked variable-length eval runs end-to-end."""
+    from efficientat_tpu.data.core import Dataset
+    from efficientat_tpu.train import cli as tcli
+    from efficientat_tpu.train.tasks import TASKS
+
+    class VarDataset(Dataset):
+        lens = [20000, 32000, 47000, 64000]
+
+        def __len__(self):
+            return 4
+
+        def get(self, index, rng):
+            g = np.random.default_rng(index)
+            return {"wave": g.normal(scale=0.05, size=self.lens[index]).astype(np.float32),
+                    "fname": f"v{index}",
+                    "target": (g.random(200) > 0.9).astype(np.float32)}
+
+    import efficientat_tpu.train.tasks as tasks_mod
+
+    orig = tasks_mod.build_datasets
+
+    def fake_build(spec, args):
+        ds = VarDataset()
+        return ds, None, ds
+
+    tasks_mod.build_datasets = fake_build
+    try:
+        from efficientat_tpu.train.cli import run_train
+
+        metrics = run_train("fsd50k", ["--synthetic", "4", "--batch_size", "2",
+                                       "--model_width", "0.1", "--num_workers", "1",
+                                       "--variable_eval_length", "--eval_only"])
+        assert "mAP" in metrics and np.isfinite(metrics["val_loss"])
+    finally:
+        tasks_mod.build_datasets = orig
