@@ -111,6 +111,33 @@ def _run_complexity(args):
                       clip_seconds=args.clip_seconds)
 
 
+def _add_profile(sub):
+    p = sub.add_parser("profile", help="Capture a device trace of a model forward")
+    p.add_argument("--model_name", type=str, default="mn10_as")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--clip_seconds", type=float, default=10.0)
+    p.add_argument("--log_dir", type=str, default="/tmp/eatpu-trace")
+    p.add_argument("--iters", type=int, default=4)
+    p.set_defaults(fn=_run_profile)
+
+
+def _run_profile(args):
+    import numpy as np
+
+    from efficientat_tpu.infer.tag import Tagger
+    from efficientat_tpu.utils.profiling import time_fn, trace
+
+    tagger = Tagger(args.model_name, pretrained=False)
+    sr = tagger.mel_cfg.sr
+    waves = np.random.default_rng(0).normal(
+        size=(args.batch_size, int(args.clip_seconds * sr))).astype(np.float32) * 0.1
+    tagger.predict(waves)  # compile outside the trace
+    with trace(args.log_dir):
+        for _ in range(args.iters):
+            tagger.predict(waves)
+    print(f"trace written to {args.log_dir} (view with TensorBoard/Perfetto)")
+
+
 def _add_rf(sub):
     p = sub.add_parser("receptive-field", help="Analytic receptive field (freq/time)")
     p.add_argument("--model_name", type=str, default="mn10_as")
@@ -133,6 +160,7 @@ def main(argv=None):
     _add_train(sub)
     _add_evaluate(sub)
     _add_complexity(sub)
+    _add_profile(sub)
     _add_rf(sub)
 
     args, extra = parser.parse_known_args(argv)

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Optional
-
 import numpy as np
 
 from efficientat_tpu.data.audio_io import load_waveform

@@ -9,7 +9,6 @@ dtype, with the mel matmul pinned fp32 (models/preprocess.py:56-57).
 from __future__ import annotations
 
 import warnings
-from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -19,7 +18,6 @@ import numpy as np
 from efficientat_tpu.models.dymn import DyMN
 from efficientat_tpu.models.registry import build_model, get_model_config
 from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
-from efficientat_tpu.ops.melspec import MelConfig
 from efficientat_tpu.utils.labels import AUDIOSET_LABELS
 
 

@@ -11,7 +11,7 @@ schedules; for multi-chip serving shard the *batch*, not the members
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

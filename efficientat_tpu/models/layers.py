@@ -20,7 +20,7 @@ Reference behavior: ConvNormActivation stacks (torchvision), InvertedResidual
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

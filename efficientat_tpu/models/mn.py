@@ -13,7 +13,7 @@ Input here is NHWC: (B, F, T, 1) log-mel spectrograms.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -156,8 +156,6 @@ def output_time_frames(cfg, t_in):
 
     Works elementwise on ints or integer arrays (jnp/np).
     """
-    import numpy as _np
-
     def conv_out(t, k, s, d):
         pad = (k - 1) // 2 * d
         return (t + 2 * pad - d * (k - 1) - 1) // s + 1

@@ -14,7 +14,7 @@ and the converted ``.msgpack`` is cached next to the original.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple, Union
+from typing import Optional, Union
 
 from efficientat_tpu.models.dymn import DyMN, DyMNConfig
 from efficientat_tpu.models.mn import MN, MNConfig

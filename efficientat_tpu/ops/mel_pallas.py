@@ -186,7 +186,7 @@ def log_mel_spectrogram_fused(
     over the batch axis; without it, auto falls back to XLA on >1 device.
     """
     from efficientat_tpu.ops.filterbank import kaldi_mel_banks
-    from efficientat_tpu.ops.melspec import _mask_axis, log_mel_spectrogram
+    from efficientat_tpu.ops.melspec import log_mel_spectrogram
 
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_supported(cfg)

@@ -6,7 +6,7 @@ linear MACs = weights + bias. Computed from the static layer plan.
 
 from __future__ import annotations
 
-from typing import Tuple, Union
+from typing import Union
 
 from efficientat_tpu.models.dymn import DyMNConfig
 from efficientat_tpu.models.mn import MNConfig

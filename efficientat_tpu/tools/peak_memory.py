@@ -15,7 +15,7 @@ Both return kB at ``bits_per_elem`` (default fp16, complexity.py:79).
 
 from __future__ import annotations
 
-from typing import List, Tuple, Union
+from typing import List, Union
 
 from efficientat_tpu.models.dymn import DyMNConfig
 from efficientat_tpu.models.mn import MNConfig

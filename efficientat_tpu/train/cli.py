@@ -13,8 +13,6 @@ import argparse
 import dataclasses
 import os
 import warnings
-from typing import Optional
-
 import numpy as np
 
 
@@ -160,12 +158,12 @@ def run_train(task_name: str, argv):
     import jax
     import jax.numpy as jnp
 
-    from efficientat_tpu.data.core import Loader, SequentialSampler
+    from efficientat_tpu.data.core import Loader
     from efficientat_tpu.models.dymn import DyMN
     from efficientat_tpu.parallel import make_mesh, shard_batch
     from efficientat_tpu.parallel.mesh import replicate
     from efficientat_tpu.train.loop import (
-        LossConfig, TrainState, create_train_state, jit_steps, make_eval_step,
+        LossConfig, create_train_state, jit_steps, make_eval_step,
         make_optimizer, make_train_step,
     )
     from efficientat_tpu.train.schedules import exp_warmup_linear_down, per_epoch_schedule

@@ -22,13 +22,11 @@ stats are statistically stronger and deterministic w.r.t. device count.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
-from flax import struct
 from flax.training import train_state
 
 from efficientat_tpu.models.dymn import DyMN

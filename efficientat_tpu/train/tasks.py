@@ -13,7 +13,7 @@ machine without the real data.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import numpy as np
 
