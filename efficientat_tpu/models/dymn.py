@@ -200,6 +200,14 @@ class DyReLUB(nn.Module):
         lambdas = jnp.asarray([1.0] * self.m + [0.5] * self.m, dtype=theta.dtype)
         init_v = jnp.asarray([1.0] + [0.0] * (2 * self.m - 1), dtype=theta.dtype)
         coefs = theta * lambdas + init_v  # (B, C, 2M)
+        if self.m == 2:
+            # unrolled: two fused FMAs + maximum, no (B,F,T,C,M) tensor
+            # (the reference makes the same specialization, dy_block.py:184-187)
+            a0 = coefs[:, None, None, :, 0]
+            a1 = coefs[:, None, None, :, 1]
+            b0 = coefs[:, None, None, :, 2]
+            b1 = coefs[:, None, None, :, 3]
+            return jnp.maximum(x * a0 + b0, x * a1 + b1)
         a = coefs[:, None, None, :, :self.m]  # (B,1,1,C,M)
         b = coefs[:, None, None, :, self.m:]
         return jnp.max(x[..., None] * a + b, axis=-1)
