@@ -46,6 +46,14 @@ class Tagger:
         self.labels = list(labels)
         self.members = []
         self.mel_cfg = get_model_config(names[0]).mel_cfg
+        for name in names[1:]:
+            other = get_model_config(name).mel_cfg
+            if other != self.mel_cfg:
+                raise ValueError(
+                    f"ensemble members disagree on the mel front-end: "
+                    f"{names[0]!r} uses {self.mel_cfg}, {name!r} uses {other}. "
+                    "All members must share one mel config (reference "
+                    "models/ensemble.py:25-33 feeds one spectrogram to all).")
         for name in names:
             if pretrained:
                 from efficientat_tpu.models.convert import load_pretrained

@@ -40,6 +40,9 @@ def _build_parser(spec):
                    help="devices in the data-parallel mesh (default: all; "
                         "the Lightning variant's flag, ex_pl_audioset.py:306)")
     p.add_argument("--eval_only", action="store_true", default=False)
+    p.add_argument("--split", choices=["val", "eval"], default=None,
+                   help="which held-out split to evaluate (fsd50k: val during "
+                        "training, eval for `evaluate`, ex_fsd50k.py:216-219)")
     p.add_argument("--weights", type=str, default=None,
                    help="msgpack weights to load (from --export)")
     return p
@@ -294,6 +297,9 @@ def run_train(task_name: str, argv):
 
 def run_evaluate(task_name: str, argv):
     argv = list(argv) + ["--eval_only"]
+    # the reference's evaluate() runs the true eval split (ex_fsd50k.py:216-219)
+    if "--split" not in argv:
+        argv += ["--split", "eval"]
     metrics = run_train(task_name, argv)
     if "mAP" in metrics:
         print("Results on evaluation split:")

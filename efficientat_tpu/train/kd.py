@@ -44,7 +44,12 @@ class SyntheticTeacherStore:
         self.num_classes = num_classes
 
     def lookup(self, fnames):
+        import zlib
+
         b = len(fnames)
-        rng = np.random.default_rng(abs(hash(tuple(fnames))) % (2 ** 31))
+        # zlib.crc32 is a stable digest; Python's str hash is salted per
+        # process, which would make synthetic-KD runs non-reproducible.
+        seed = zlib.crc32("\x00".join(str(f) for f in fnames).encode())
+        rng = np.random.default_rng(seed)
         return (rng.random((b, self.num_classes)).astype(np.float32),
                 np.ones((b,), np.float32))

@@ -119,13 +119,19 @@ class SyntheticAudioDataset(Dataset):
 
 
 def build_datasets(spec: TaskSpec, args):
-    """Returns (train_ds, sampler_or_None, eval_ds)."""
+    """Returns (train_ds, sampler_or_None, eval_ds).
+
+    ``args.split`` selects the held-out set where the dataset distinguishes
+    one: FSD50K has both a validation split (used during training) and a
+    final eval split (used by `evaluate`, ex_fsd50k.py:216-219).
+    """
+    split = getattr(args, "split", None) or "val"
     if getattr(args, "synthetic", 0):
         n = args.synthetic
         return (SyntheticAudioDataset(spec, n, args.resample_rate),
                 None,
                 SyntheticAudioDataset(spec, max(n // 2, 2), args.resample_rate,
-                                      seed=1))
+                                      seed=1 if split == "val" else 2))
 
     d = getattr(args, "dataset_dir", None)
     if spec.name == "audioset":
@@ -146,11 +152,11 @@ def build_datasets(spec: TaskSpec, args):
     if spec.name == "fsd50k":
         from efficientat_tpu.data import fsd50k as m
 
+        held_out = m.get_eval_set if split == "eval" else m.get_valid_set
         return (m.get_training_set(d, args.resample_rate, not args.no_roll,
                                    not args.no_wavmix, args.gain_augment),
                 None,
-                m.get_valid_set(d, args.resample_rate,
-                                args.variable_eval_length))
+                held_out(d, args.resample_rate, args.variable_eval_length))
     if spec.name == "dcase20":
         from efficientat_tpu.data import dcase20 as m
 

@@ -81,3 +81,17 @@ def test_windowed_chunked_equals_unchunked(tiny_tagger):
         for (la, pa), (lb, pb) in zip(a["tags"], b["tags"]):
             assert la == lb
             assert abs(pa - pb) < 1e-5
+
+
+def test_ensemble_mel_config_mismatch_raises():
+    # mn10_as_mels_256 uses a 256-band front-end; mixing it with the default
+    # 128-band members must fail loudly instead of producing garbage.
+    with pytest.raises(ValueError, match="mel front-end"):
+        Tagger(["mn04_as", "mn10_as_mels_256"], pretrained=False)
+
+
+def test_ensemble_consistent_mel_configs_ok():
+    t = Tagger(["mn04_as", "mn05_as"], pretrained=False)
+    probs = t.predict(np.zeros((1, 32000), np.float32))
+    assert probs.shape == (1, 527)
+    assert np.isfinite(probs).all()

@@ -210,3 +210,20 @@ def test_schedule_in_optimizer_moves_lr():
     g = {"w": jnp.ones((3,))}
     u1, opt_state = tx.update(g, opt_state, params)
     assert np.isfinite(np.asarray(u1["w"])).all()
+
+
+def test_synthetic_teacher_store_is_process_stable():
+    """Seeds must come from a stable digest, not Python's salted str hash,
+    so synthetic-KD runs reproduce across processes."""
+    import zlib
+
+    from efficientat_tpu.train.kd import SyntheticTeacherStore
+
+    store = SyntheticTeacherStore(527)
+    rows, valid = store.lookup(["clipA", "clipB"])
+    rows2, _ = SyntheticTeacherStore(527).lookup(["clipA", "clipB"])
+    np.testing.assert_array_equal(rows, rows2)
+    expected_seed = zlib.crc32(b"clipA\x00clipB")
+    expected = np.random.default_rng(expected_seed).random((2, 527)).astype(np.float32)
+    np.testing.assert_array_equal(rows, expected)
+    np.testing.assert_array_equal(valid, np.ones(2, np.float32))

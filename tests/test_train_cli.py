@@ -116,3 +116,49 @@ def test_variable_eval_fsd50k_style(tmp_path):
         assert "mAP" in metrics and np.isfinite(metrics["val_loss"])
     finally:
         tasks_mod.build_datasets = orig
+
+
+def test_fsd50k_split_selection_val_vs_eval():
+    """`evaluate` must hit the true eval split, not the training val split
+    (reference ex_fsd50k.py:216-219). Synthetic stand-ins use distinct seeds
+    per split, so the two must produce different data."""
+    import argparse
+
+    from efficientat_tpu.train.tasks import TASKS, build_datasets
+
+    spec = TASKS["fsd50k"]
+    def build(split):
+        args = argparse.Namespace(synthetic=4, resample_rate=32000, split=split)
+        return build_datasets(spec, args)[2]
+
+    val_ds, eval_ds = build("val"), build(None)
+    assert np.allclose(val_ds.get(0, None)["wave"], eval_ds.get(0, None)["wave"])
+    eval_ds = build("eval")
+    assert not np.allclose(val_ds.get(0, None)["wave"], eval_ds.get(0, None)["wave"])
+
+
+def test_fsd50k_real_split_wiring(monkeypatch, tmp_path):
+    """With real (non-synthetic) args, split='eval' must open FSD50K.eval."""
+    import argparse
+
+    from efficientat_tpu.data import fsd50k
+    from efficientat_tpu.train.tasks import TASKS, build_datasets
+
+    opened = []
+
+    def fake_open(path, resample_rate, gain_augment=0, clip_length=10.0,
+                  random_offset=True):
+        opened.append(os.path.basename(path))
+        return "ds"
+
+    monkeypatch.setattr(fsd50k, "_open", fake_open)
+    args = argparse.Namespace(
+        synthetic=0, resample_rate=32000, split="eval",
+        dataset_dir=str(tmp_path), no_roll=True, no_wavmix=True,
+        gain_augment=0, variable_eval_length=False)
+    build_datasets(TASKS["fsd50k"], args)
+    assert any(n.startswith("FSD50K.eval") for n in opened), opened
+    opened.clear()
+    args.split = None
+    build_datasets(TASKS["fsd50k"], args)
+    assert any(n.startswith("FSD50K.val") for n in opened), opened
