@@ -139,10 +139,11 @@ def convert_mn(sd: Dict[str, np.ndarray], cfg: MNConfig,
     elif cfg.head_type == "fully_convolutional":
         _fc_head(t, params, stats, drop_head)
     elif cfg.head_type == "multihead_attention_pooling":
-        params["head"] = {
-            "subspace_proj": _dense(t, "classifier.subspace_proj"),
-            "head_weight": t("classifier.head_weight"),
-        }
+        if not drop_head and t.has("classifier.subspace_proj.weight"):
+            params["head"] = {
+                "subspace_proj": _dense(t, "classifier.subspace_proj"),
+                "head_weight": t("classifier.head_weight"),
+            }
     return {"params": params, "batch_stats": stats}
 
 
@@ -271,11 +272,21 @@ def _merge_fresh_head(variables, fresh, cfg) -> None:
 
 
 def checkpoint_classes(sd: Dict[str, np.ndarray], head_type: str) -> int:
-    """Class count stored in a reference checkpoint (models/mn/model.py:285-291)."""
-    if head_type == "mlp":
+    """Class count stored in a reference checkpoint (models/mn/model.py:285-291).
+
+    The reference returns -1 (always-drop) for attention-pooling heads; here
+    the class count is recovered from the projection/head-weight shapes so an
+    MHA checkpoint reloaded with the same class count keeps its head.
+    """
+    if head_type == "mlp" and "classifier.5.bias" in sd:
         return sd["classifier.5.bias"].shape[0]
-    if head_type == "fully_convolutional":
+    if head_type == "fully_convolutional" and "classifier.1.bias" in sd:
         return sd["classifier.1.bias"].shape[0]
+    if (head_type == "multihead_attention_pooling"
+            and "classifier.head_weight" in sd
+            and "classifier.subspace_proj.weight" in sd):
+        heads = sd["classifier.head_weight"].shape[1]
+        return sd["classifier.subspace_proj.weight"].shape[0] // (2 * heads)
     return -1
 
 

@@ -137,3 +137,92 @@ def test_convert_uses_all_meaningful_keys():
     variables = convert_mn(sd, cfg)
     flat_count = sum(1 for _ in jax.tree.leaves(variables))
     assert flat_count == len(leftovers)
+
+
+def _mn_parity(cfg, seed, shape=(1, 1, 128, 32), rtol=1e-3, atol=1e-4):
+    sd = make_mn_state_dict(cfg, seed=seed)
+    variables = convert(to_numpy_sd(sd), cfg)
+    model = MN(cfg)
+    fresh = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 64, 1), jnp.float32))
+    tree_shapes_match(jax.tree.map(np.shape, fresh["params"]),
+                      jax.tree.map(np.shape, variables["params"]))
+    x = np.random.default_rng(seed + 1).normal(size=shape).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want_logits, want_emb = torch_mn_forward(sd, torch.tensor(x), cfg)
+    got_logits, got_emb = model.apply(jax.tree.map(jnp.asarray, variables),
+                                      jnp.transpose(jnp.asarray(x), (0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got_emb), want_emb.numpy(), rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(),
+                               rtol=rtol, atol=atol)
+
+
+def test_mn_mha_head_convert_matches_oracle():
+    """models/mn/attention_pooling.py:9-56 conversion + forward parity."""
+    cfg = MNConfig(width_mult=0.4, num_classes=9,
+                   head_type="multihead_attention_pooling")
+    _mn_parity(cfg, seed=20, shape=(2, 1, 128, 48))
+
+
+@pytest.mark.parametrize("strides", [(2, 2, 2, 1), (2, 2, 1, 1)])
+def test_mn_fc_stride_variants_match_oracle(strides):
+    """mn10_as_fc_s2221 / s2211 configs (models/mn/model.py:254-265)."""
+    cfg = MNConfig(width_mult=0.4, num_classes=9, head_type="fully_convolutional",
+                   strides=strides)
+    _mn_parity(cfg, seed=21)
+
+
+def test_mn_reduced_tail_matches_oracle():
+    cfg = MNConfig(width_mult=0.4, num_classes=9, reduced_tail=True)
+    _mn_parity(cfg, seed=22)
+
+
+def test_mn_dilated_matches_oracle():
+    """dilated=True: C4 blocks use dilation 2 with stride forced to 1
+    (models/mn/model.py:241-265)."""
+    cfg = MNConfig(width_mult=0.4, num_classes=9, dilated=True)
+    _mn_parity(cfg, seed=23)
+
+
+def test_mha_checkpoint_classes_and_surgery():
+    cfg = MNConfig(width_mult=0.4, num_classes=17,
+                   head_type="multihead_attention_pooling")
+    sd = to_numpy_sd(make_mn_state_dict(cfg, seed=24))
+    assert checkpoint_classes(sd, "multihead_attention_pooling") == 17
+    # same class count -> head kept
+    variables = convert(sd, cfg, drop_head=False)
+    assert "head" in variables["params"]
+    # mismatch -> dropped (fresh head grafted by load_pretrained)
+    variables = convert(sd, MNConfig(width_mult=0.4, num_classes=5,
+                                     head_type="multihead_attention_pooling"),
+                        drop_head=True)
+    assert "head" not in variables["params"]
+    # mlp checkpoint loaded into an MHA config: class count unknown -> -1
+    mlp_sd = to_numpy_sd(make_mn_state_dict(MNConfig(width_mult=0.4), seed=25))
+    assert checkpoint_classes(mlp_sd, "multihead_attention_pooling") == -1
+
+
+def test_every_registry_spec_converts_and_matches_init():
+    """Each unique model config in the registry: synthesize a reference-style
+    state_dict, convert it, and require an exact structure match with a fresh
+    init (cheap eval_shape sweep; forward parity for each family is covered
+    by the dedicated tests above)."""
+    from efficientat_tpu.models.registry import REGISTRY, build_model
+
+    seen = set()
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.model_cfg in seen:
+            continue
+        seen.add(spec.model_cfg)
+        model, _ = build_model(name)
+        cfg = model.cfg
+        make = make_dymn_state_dict if isinstance(cfg, DyMNConfig) else make_mn_state_dict
+        variables = convert(to_numpy_sd(make(cfg, seed=30)), cfg)
+        fresh = jax.eval_shape(model.init, jax.random.PRNGKey(0),
+                               jnp.zeros((1, 128, 64, 1), jnp.float32))
+        tree_shapes_match(jax.tree.map(np.shape, fresh["params"]),
+                          jax.tree.map(np.shape, variables["params"]),
+                          path=name)
+        tree_shapes_match(jax.tree.map(np.shape, fresh["batch_stats"]),
+                          jax.tree.map(np.shape, variables["batch_stats"]),
+                          path=name)

@@ -75,6 +75,13 @@ def make_mn_state_dict(cfg, seed=0):
     elif cfg.head_type == "fully_convolutional":
         sd["classifier.0.weight"] = _t(rng, cfg.num_classes, c_tail, 1, 1) * 0.1
         _bn_entries(sd, rng, "classifier.1", cfg.num_classes)
+    elif cfg.head_type == "multihead_attention_pooling":
+        heads = cfg.multihead_attention_heads
+        sd["classifier.subspace_proj.weight"] = _t(
+            rng, cfg.num_classes * 2 * heads, c_tail) * 0.1
+        sd["classifier.subspace_proj.bias"] = _t(rng, cfg.num_classes * 2 * heads) * 0.1
+        sd["classifier.head_weight"] = (
+            torch.full((1, heads, 1), 1.0 / heads) + _t(rng, 1, heads, 1) * 0.05)
     return sd
 
 
@@ -198,6 +205,22 @@ def torch_mn_forward(sd, x, cfg):
         z = F.batch_norm(z, sd["classifier.1.running_mean"], sd["classifier.1.running_var"],
                          sd["classifier.1.weight"], sd["classifier.1.bias"], False, 0.0, 1e-5)
         logits = z.mean(dim=(2, 3))
+    elif cfg.head_type == "multihead_attention_pooling":
+        # PSLA-style pooling (models/mn/attention_pooling.py:9-56): mean-pool
+        # freq, sigmoid attention clamped + normalized over time, per-head
+        # weighted sum.
+        heads = cfg.multihead_attention_heads
+        z = x.mean(dim=2).transpose(1, 2)  # (B, T, C)
+        b, n, _ = z.shape
+        out_dim = sd["classifier.subspace_proj.weight"].shape[0] // (2 * heads)
+        p = F.linear(z, sd["classifier.subspace_proj.weight"],
+                     sd["classifier.subspace_proj.bias"])
+        p = p.reshape(b, n, 2, heads, out_dim).permute(2, 0, 3, 1, 4)
+        att, val = p[0], p[1]
+        att = torch.clamp(torch.sigmoid(att), 1e-7, 1.0 - 1e-7)
+        att = att / att.sum(dim=2, keepdim=True)
+        out = (att * val).sum(dim=2) * sd["classifier.head_weight"]
+        logits = out.sum(dim=1)
     return logits, emb
 
 
