@@ -224,7 +224,16 @@ def masked_time_mean(x: jnp.ndarray, time_valid) -> jnp.ndarray:
     """Mean over (F, T) of NHWC x, counting only the first ``time_valid[b]``
     frames per sample. Enables bucket-padded variable-length evaluation
     (the reference instead evaluates exact lengths at batch 1,
-    ex_fsd50k.py:73-77)."""
+    ex_fsd50k.py:73-77).
+
+    Approximation note: pooling is exact, but padded time frames still enter
+    conv receptive fields near the valid/pad boundary, so masked logits are
+    not bit-identical to an exact-shape forward. Measured on realistic-scale
+    weights (tests/test_train_cli.py::test_masked_variable_eval_deviation):
+    max logit deviation is ~12% of the logit std when a 2 s clip is padded
+    to 10 s (worst case) and ~3% at 0.5 s of padding; it shrinks
+    monotonically as padding shrinks. Keep eval batches length-homogeneous
+    (bucketed) to stay at the low end."""
     t = x.shape[2]
     mask = (jnp.arange(t)[None, :] < time_valid[:, None]).astype(x.dtype)
     x = x * mask[:, None, :, None]

@@ -39,9 +39,13 @@ def main():
     waves_np = rng.normal(size=(BATCH, CLIP * SR)).astype(np.float32) * 0.1
     waves = jnp.asarray(waves_np)
 
-    for dtype_name in sys.argv[1:] or ["float32", "bfloat16"]:
+    # each spec: dtype[,ablation-flags]  e.g. "float32,no_dyconv,no_ca"
+    for spec_str in sys.argv[1:] or ["float32", "bfloat16"]:
+        parts = spec_str.split(",")
+        dtype_name = parts[0]
+        flags = {f: True for f in parts[1:]}
         dtype = jnp.dtype(dtype_name)
-        model = DyMN(DyMNConfig(t_max=1.0), dtype=dtype)
+        model = DyMN(DyMNConfig(t_max=1.0, **flags), dtype=dtype)
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
@@ -63,7 +67,7 @@ def main():
         dt = time.perf_counter() - t0
         assert np.isfinite(total)
         print(json.dumps({
-            "model": "dymn10_as", "dtype": dtype_name, "batch": BATCH,
+            "model": "dymn10_as", "spec": spec_str, "batch": BATCH,
             "clips_per_s": round(BATCH * ITERS / dt, 2),
             "compile_s": round(compile_s, 1),
         }), flush=True)

@@ -162,3 +162,50 @@ def test_fsd50k_real_split_wiring(monkeypatch, tmp_path):
     args.split = None
     build_datasets(TASKS["fsd50k"], args)
     assert any(n.startswith("FSD50K.val") for n in opened), opened
+
+
+def test_masked_variable_eval_deviation():
+    """Quantify bucket-padded masked eval vs exact-shape forward (the
+    reference's batch-1 exact baseline, ex_fsd50k.py:73-77). Padded frames
+    leak into conv receptive fields near the boundary; this pins the
+    measured deviation so regressions (or silent mask breakage) surface."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+    from torch_oracle import make_mn_state_dict
+
+    from efficientat_tpu.models.convert import convert
+    from efficientat_tpu.models.mn import MN, MNConfig, output_time_frames
+    from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram
+
+    cfg = MNConfig(width_mult=0.4, num_classes=10)
+    mel_cfg = MelConfig()
+    model = MN(cfg)
+    sd = {k: v.numpy() for k, v in make_mn_state_dict(cfg, seed=1).items()}
+    variables = jax.tree.map(jnp.asarray, convert(sd, cfg))
+    rng = np.random.default_rng(0)
+    sr, pad_n = 32000, 320000
+
+    # (clip seconds, max allowed |logit dev| / logit std) — measured values
+    # (0.121, 0.069, 0.052, 0.036, 0.029) with ~1.5x margin
+    bounds = [(2.0, 0.20), (3.7, 0.12), (5.0, 0.09), (7.3, 0.06), (9.5, 0.05)]
+    rels = []
+    for sec, bound in bounds:
+        n = int(sec * sr)
+        wave = (rng.normal(size=n) * 0.1).astype(np.float32)
+        mel_e = log_mel_spectrogram(jnp.asarray(wave[None]), mel_cfg)
+        exact, _ = model.apply(variables, mel_e[..., None])
+        wp = np.zeros(pad_n, np.float32)
+        wp[:n] = wave
+        mel_p = log_mel_spectrogram(jnp.asarray(wp[None]), mel_cfg)
+        frames = (n - 1) // mel_cfg.hopsize + 1
+        tv = jnp.asarray([output_time_frames(cfg, frames)], jnp.int32)
+        masked, _ = model.apply(variables, mel_p[..., None], False, tv)
+        exact, masked = np.asarray(exact), np.asarray(masked)
+        rel = np.abs(exact - masked).max() / exact.std()
+        rels.append(rel)
+        assert rel < bound, (sec, rel, bound)
+    # deviation must shrink as padding shrinks
+    assert rels[0] > rels[-1]
