@@ -5,15 +5,17 @@ Each DY block computes a shared context (ContextGen), then:
 expand DynamicConv 1x1 -> BN -> act -> depthwise DynamicConv kxk -> BN ->
 DyReLU-B -> Coordinate Attention -> project DynamicConv 1x1 -> BN -> (+res).
 
-TPU-first redesign of DynamicConv (dy_block.py:44-131): the reference folds
-the batch into conv groups (``groups=B*C``) — a CUDA grouped-conv idiom that
-XLA lowers poorly. Here:
+DynamicConv lowering (dy_block.py:44-131), chosen by on-chip measurement
+(scripts/bench_dyconv_micro.py / bench_pw_micro.py):
 - 1x1 dynamic convs aggregate the K weight banks per sample
-  (``att @ banks``) and run as one batched matmul
-  (``einsum('bfti,bio->bfto')``) — a native MXU op.
-- dynamic depthwise convs become an unrolled shift-and-add: for each of the
-  k*k taps, a strided slice of the padded map is scaled by the per-sample,
-  per-channel tap weight and accumulated — pure VPU work that XLA fuses.
+  (``att @ banks``) and run as one batched matmul over the FLATTENED
+  spatial dim (``einsum('bni,bio->bno')``) — the 4D form
+  ``bfti,bio->bfto`` triggers a ~1000x-slower XLA path at early-block
+  shapes (B=64, 64x500x16: 6.8 s vs 2.7 ms).
+- dynamic depthwise convs fold batch into conv feature groups
+  (``(1, F, T, B*C)``, ``feature_group_count=B*C``) — the same fold the
+  reference uses on CUDA; XLA-TPU lowers it within ~1.5x of a static
+  depthwise conv, 14-30x faster than an unrolled shift-and-add.
 
 The DynamicConv softmax temperature anneals per epoch
 (dy_block.py:133-139); it is passed in as a traced scalar so changing it
@@ -93,8 +95,10 @@ class DynamicConv(nn.Module):
                 "weight", _bank_init(self.k, fan_out),
                 (self.k, self.in_channels, self.out_channels))
             wb = jnp.einsum("bk,kio->bio", att, w.astype(self.dtype))
-            return jnp.einsum("bfti,bio->bfto", x, wb,
-                              preferred_element_type=self.dtype)
+            b, f, t, ci = x.shape
+            y = jnp.einsum("bni,bio->bno", x.reshape(b, f * t, ci), wb,
+                           preferred_element_type=self.dtype)
+            return y.reshape(b, f, t, self.out_channels)
         if self.groups == self.in_channels == self.out_channels:
             w = self.param(
                 "weight", _bank_init(self.k, fan_out),
@@ -106,28 +110,24 @@ class DynamicConv(nn.Module):
 
 
 def _dynamic_depthwise(x, w, ks: int, stride: int, dilation: int):
-    """Depthwise conv with per-sample kernels via shift-and-add.
+    """Depthwise conv with per-sample kernels as ONE grouped conv.
 
-    x: (B, F, T, C); w: (B, ks, ks, C). Cross-correlation with torch-style
-    symmetric padding (k-1)//2 * dilation.
+    x: (B, F, T, C); w: (B, ks, ks, C). Batch folds into the channel/lane
+    dim — lhs (1, F, T, B*C), feature_group_count=B*C — so XLA's conv
+    emitter sees a single static-shape depthwise conv. Cross-correlation
+    with torch-style symmetric padding (k-1)//2 * dilation.
     """
     b, f, t, c = x.shape
     p = (ks - 1) // 2 * dilation
-    fo = (f + 2 * p - dilation * (ks - 1) - 1) // stride + 1
-    to = (t + 2 * p - dilation * (ks - 1) - 1) // stride + 1
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-    out = jnp.zeros((b, fo, to, c), dtype=x.dtype)
-    for di in range(ks):
-        for dj in range(ks):
-            patch = jax.lax.slice(
-                xp,
-                (0, di * dilation, dj * dilation, 0),
-                (b, di * dilation + (fo - 1) * stride + 1,
-                 dj * dilation + (to - 1) * stride + 1, c),
-                (1, stride, stride, 1),
-            )
-            out = out + patch * w[:, di, dj, :][:, None, None, :]
-    return out
+    lhs = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, f, t, b * c)
+    rhs = jnp.transpose(w, (1, 2, 0, 3)).reshape(ks, ks, 1, b * c)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (stride, stride), [(p, p), (p, p)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c)
+    fo, to = out.shape[1], out.shape[2]
+    return jnp.transpose(out.reshape(fo, to, b, c), (2, 0, 1, 3))
 
 
 class ContextGen(nn.Module):
