@@ -6,8 +6,9 @@ accelerator. Here:
 
 - WAV: parsed natively (stdlib/scipy fallback; fast C++ path in
   ``native/`` when built — see efficientat_tpu.data.native).
-- MP3: gated on the optional ``av`` (PyAV) package; raises a clear error
-  when absent (this build environment has no FFmpeg).
+- MP3: first-party C++ MPEG-1/2/2.5 Layer III decoder
+  (native/eat_mp3.cpp, verified to ~1e-6 vs libmpg123); falls back to
+  the optional ``av`` (PyAV) package when the native library isn't built.
 - Resampling: polyphase windowed-sinc (scipy.signal.resample_poly), the
   same class of kernel librosa's default uses. The AudioSet HDF5 datasets'
   "naive" stride-slice decimation (datasets/audioset.py:163-177) is kept
@@ -90,18 +91,24 @@ def load_wav(path: str):
 
 
 def decode_mp3(blob: bytes):
-    """Decode mp3 bytes -> (float32 (channels, samples), sr) via PyAV.
+    """Decode mp3 bytes -> (float32 (channels, samples), sr).
 
-    Matches the reference decode path (datasets/audioset.py:32-47); PyAV is
-    an optional dependency (this environment has no FFmpeg).
+    Reference surface: datasets/audioset.py:32-47 (PyAV/FFmpeg there).
+    Here the first-party C++ decoder (native/eat_mp3.cpp) is the primary
+    path — zero Python/FFmpeg dependencies; PyAV is the fallback when the
+    native library hasn't been built.
     """
+    from efficientat_tpu.data import native
+
+    if native.available():
+        return native.decode_mp3(blob)
     try:
         import av
     except ImportError as e:
         raise ImportError(
-            "MP3 decoding requires the optional 'av' (PyAV/FFmpeg) package, "
-            "which is not installed in this environment. Convert the dataset "
-            "to WAV/PCM HDF5 instead (see efficientat_tpu.data.hdf5)."
+            "MP3 decoding needs the native library (run `make -C native` "
+            "once; zero dependencies) or the optional 'av' (PyAV/FFmpeg) "
+            "package."
         ) from e
     import io
 

@@ -49,6 +49,12 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_int64)]
     lib.eat_free.argtypes = [ctypes.c_void_p]
+    lib.eat_mp3_decode.restype = ctypes.c_int
+    lib.eat_mp3_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
     lib.eat_pool_create.restype = ctypes.c_void_p
     lib.eat_pool_create.argtypes = [ctypes.c_int]
     lib.eat_pool_submit.argtypes = [
@@ -99,6 +105,27 @@ def resample(wave: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     res = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
     lib.eat_free(out)
     return res
+
+
+def decode_mp3(blob: bytes):
+    """First-party MPEG-1/2/2.5 Layer III decode (native/eat_mp3.cpp).
+
+    Returns (float32 (channels, samples), sample_rate).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library not built (run make -C native)")
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_int64()
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    rc = lib.eat_mp3_decode(blob, len(blob), ctypes.byref(out),
+                            ctypes.byref(n), ctypes.byref(sr), ctypes.byref(ch))
+    if rc != 0:
+        raise ValueError(f"eat_mp3_decode failed with code {rc}")
+    pcm = np.ctypeslib.as_array(out, shape=(ch.value, n.value)).copy()
+    lib.eat_free(out)
+    return pcm, sr.value
 
 
 class NativePrefetchPool:

@@ -1,0 +1,154 @@
+"""MP3 decode: first-party decoder vs third-party oracle (libmpg123).
+
+Fixtures are synthesized with libmp3lame, decoded by:
+- the C++ decoder (native/eat_mp3.cpp via efficientat_tpu.data.native), and
+- the numpy executable spec (tests/mp3_ref.py),
+and both must match libmpg123's float output to ~1e-6. Also covers the
+reference's mp3-in-HDF5 dataset format end-to-end
+(/root/reference/datasets/audioset.py:32-47,106-177).
+"""
+
+import numpy as np
+import pytest
+
+from efficientat_tpu.data import native
+
+import codec_oracles
+import mp3_ref
+
+pytestmark = pytest.mark.skipif(
+    not (codec_oracles.have_lame() and codec_oracles.have_mpg123()),
+    reason="system lame/mpg123 not available for fixtures/oracle")
+
+if not native.available():
+    native.build()
+
+RNG = np.random.default_rng(7)
+
+
+def _transient(sr):
+    x = np.zeros(sr, np.float32)
+    for k in range(8):
+        s = k * sr // 8
+        x[s:s + 400] = RNG.normal(size=400).astype(np.float32) * 0.7
+    return x
+
+
+def _tone_noise(sr):
+    t = np.arange(sr) / sr
+    return (0.5 * np.sin(2 * np.pi * 300 * t)
+            + 0.05 * RNG.normal(size=sr)).astype(np.float32)
+
+
+CASES = [
+    ("mpeg1-32k-transient", 32000, dict(bitrate=128, mode="mono"), _transient),
+    ("mpeg1-44k", 44100, dict(bitrate=192, mode="mono"), _tone_noise),
+    ("mpeg1-48k", 48000, dict(bitrate=64, mode="mono"), _transient),
+    ("lsf-16k", 16000, dict(bitrate=32, mode="mono"), _tone_noise),
+    ("lsf-22k", 22050, dict(bitrate=48, mode="mono"), _transient),
+    ("lsf-24k", 24000, dict(bitrate=24, mode="mono"), _tone_noise),
+    ("lsf25-8k", 8000, dict(bitrate=24, mode="mono"), _tone_noise),
+    ("lsf25-11k", 11025, dict(bitrate=16, mode="mono"), _tone_noise),
+    ("lsf25-12k", 12000, dict(bitrate=32, mode="mono"), _tone_noise),
+    ("vbr-32k", 32000, dict(mode="mono", vbr=True), _transient),
+]
+
+
+def _stereo(sr):
+    t = np.arange(sr) / sr
+    left = 0.5 * np.sin(2 * np.pi * 440 * t)
+    right = 0.4 * np.sin(2 * np.pi * 660 * t) + 0.05 * RNG.normal(size=sr)
+    return np.stack([left, right]).astype(np.float32)
+
+
+STEREO_CASES = [
+    ("joint-ms", 32000, dict(bitrate=128, mode="joint")),
+    ("plain-stereo", 32000, dict(bitrate=192, mode="stereo")),
+    ("joint-vbr", 44100, dict(mode="joint", vbr=True)),
+    ("lsf-joint", 16000, dict(bitrate=64, mode="joint")),
+]
+
+
+@pytest.mark.parametrize("tag,sr,kw,gen", CASES, ids=[c[0] for c in CASES])
+def test_native_mp3_matches_mpg123(tag, sr, kw, gen):
+    blob = codec_oracles.encode_mp3_lame(gen(sr), sr, **kw)
+    ref, sr_ref = codec_oracles.decode_mp3_mpg123(blob)
+    mine, sr_mine = native.decode_mp3(blob)
+    assert sr_mine == sr_ref == sr
+    assert mine.shape[0] == ref.shape[0] == 1
+    n = min(ref.shape[1], mine.shape[1])
+    assert n > sr // 2
+    np.testing.assert_allclose(mine[0][:n], ref[0][:n], atol=2e-5)
+
+
+@pytest.mark.parametrize("tag,sr,kw", STEREO_CASES,
+                         ids=[c[0] for c in STEREO_CASES])
+def test_native_mp3_stereo_matches_mpg123(tag, sr, kw):
+    blob = codec_oracles.encode_mp3_lame(_stereo(sr), sr, **kw)
+    ref, _ = codec_oracles.decode_mp3_mpg123(blob)
+    mine, _ = native.decode_mp3(blob)
+    assert mine.shape[0] == ref.shape[0] == 2
+    n = min(ref.shape[1], mine.shape[1])
+    for ch in range(2):
+        np.testing.assert_allclose(mine[ch][:n], ref[ch][:n], atol=2e-5)
+
+
+def test_numpy_spec_matches_mpg123():
+    """The executable numpy spec stays in lockstep with the oracle."""
+    sr = 32000
+    blob = codec_oracles.encode_mp3_lame(_transient(sr), sr, bitrate=96,
+                                         mode="mono")
+    ref, _ = codec_oracles.decode_mp3_mpg123(blob)
+    mine, _ = mp3_ref.decode(blob)
+    n = min(ref.shape[1], mine.shape[1])
+    np.testing.assert_allclose(mine[0][:n], ref[0][:n], atol=2e-5)
+
+
+def test_audio_io_decode_mp3_uses_native():
+    from efficientat_tpu.data.audio_io import decode_mp3
+
+    sr = 32000
+    blob = codec_oracles.encode_mp3_lame(_tone_noise(sr), sr, bitrate=128,
+                                         mode="mono")
+    pcm, rate = decode_mp3(blob)
+    assert rate == sr and pcm.ndim == 2 and pcm.shape[0] == 1
+    assert 0.1 < np.abs(pcm).max() < 1.2
+
+
+def test_mp3_hdf5_dataset_end_to_end(tmp_path):
+    """Reference on-disk format: vlen-uint8 'mp3' + packed-bit 'target' +
+    'audio_name' (audioset.py:106-160), decoded by the first-party decoder
+    through MP3Hdf5Dataset with pad/truncate + stride resample."""
+    import h5py
+
+    from efficientat_tpu.data.hdf5 import MP3Hdf5Dataset
+
+    sr = 32000
+    clips = [_tone_noise(sr), _transient(sr)]
+    names = [b"Yclip0.mp3", b"Yclip1.mp3"]
+    targets = np.zeros((2, 66), np.uint8)  # 527 bits packed -> 66 bytes
+    targets[0, 0] = 0x80
+    path = str(tmp_path / "eval_segments_mp3.hdf")
+    with h5py.File(path, "w") as f:
+        vlen = h5py.special_dtype(vlen=np.dtype("uint8"))
+        d = f.create_dataset("mp3", (2,), dtype=vlen)
+        for i, clip in enumerate(clips):
+            blob = codec_oracles.encode_mp3_lame(clip, sr, bitrate=128,
+                                                 mode="mono")
+            d[i] = np.frombuffer(blob, np.uint8)
+        f.create_dataset("target", data=targets)
+        f.create_dataset("audio_name", data=np.asarray(names))
+
+    ds = MP3Hdf5Dataset(path, sample_rate=sr, clip_length_seconds=10.0,
+                        resample_rate=16000, num_classes=527)
+    assert len(ds) == 2
+    item = ds.get(0, np.random.default_rng(0))
+    # 10 s at 32 kHz stride-resampled to 16 kHz -> 160k samples
+    assert item["wave"].shape == (160000,)
+    assert item["fname"] == "clip0"  # 'Y' prefix and '.mp3' stripped
+    assert item["target"].shape == (527,)
+    assert item["target"][0] == 1.0 and item["target"][1:].sum() == 0
+    # decoded audio present (not silence) in the valid region
+    assert np.abs(item["wave"][:8000]).max() > 0.05
+    # padded region is silence
+    assert np.abs(item["wave"][-1000:]).max() == 0.0
