@@ -1,12 +1,15 @@
-"""Benchmark: 10s-clip inference throughput per TPU chip (mn10_as).
+"""Benchmark: per-chip throughput for the flagship paths.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-- value: clips/sec for the full pipeline (waveform -> log-mel -> MobileNetV3
-  -> sigmoid) at batch 64 on the default JAX device.
+- value: clips/sec for the full mn10_as inference pipeline (waveform ->
+  log-mel -> MobileNetV3 -> sigmoid) at batch 64 on the default JAX device.
 - vs_baseline: speedup over a PyTorch-CPU baseline of the same model math
   (torch functional forward on the same weights + numpy FFT mel) — the
   reference's CPU deployment path. Cached in .bench_cpu_baseline.json.
+- extra: dymn10_as inference (fp32, the flagship-quality model) and the
+  B=120 AudioSet KD train step (mn10, full pipeline incl. mel + SpecAugment
+  + mixup + backward + Adam), both in clips/s.
 
 Timing notes for this environment: the TPU is remote (axon tunnel);
 ``block_until_ready`` does not flush the remote pipeline, so timing chains
@@ -30,6 +33,8 @@ CLIP_SECONDS = 10
 SR = 32000
 BATCH = 64
 ITERS = 16
+TRAIN_BATCH = 120
+TRAIN_ITERS = 8
 HERE = os.path.dirname(os.path.abspath(__file__))
 CPU_BASELINE_CACHE = os.path.join(HERE, ".bench_cpu_baseline.json")
 
@@ -45,40 +50,122 @@ def _setup_jax_cache():
         pass
 
 
-def measure_tpu(batch=BATCH, iters=ITERS) -> float:
+def _infer_cps(model_apply, variables, batch=BATCH, iters=ITERS):
+    """Full-pipeline inference clips/s for a (variables, waves)->scalar fn."""
     import jax
     import jax.numpy as jnp
 
-    _setup_jax_cache()
+    rng = np.random.default_rng(0)
+    waves = jnp.asarray(
+        rng.normal(size=(batch, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
+
+    forward = jax.jit(model_apply)
+    float(forward(variables, waves, jnp.float32(0.0)))  # compile + run
+
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(iters):
+        # vary input each iter so no layer of the stack can dedup work;
+        # accumulate on device, fetch once (remote pipeline flush)
+        acc = acc + forward(variables, waves, jnp.float32(i) * 1e-7)
+    total = float(acc)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(total)
+    return batch * iters / dt
+
+
+def measure_mn10() -> float:
+    import jax
+    import jax.numpy as jnp
+
     from efficientat_tpu.models import MN, MNConfig
     from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
     from efficientat_tpu.ops.melspec import MelConfig
 
     mel_cfg = MelConfig()
     model = MN(MNConfig())
-    rng = np.random.default_rng(0)
-    waves_np = rng.normal(size=(batch, CLIP_SECONDS * SR)).astype(np.float32) * 0.1
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
-    @jax.jit
-    def forward(variables, waves, eps):
+    def fwd(variables, waves, eps):
         mel = log_mel_spectrogram_fused(waves + eps, mel_cfg)
         logits, _ = model.apply(variables, mel[..., None])
         return jnp.sum(jax.nn.sigmoid(logits))
 
-    waves = jnp.asarray(waves_np)
-    # warmup: compile + one full execution, forced to host
-    float(forward(variables, waves, jnp.float32(0.0)))
+    return _infer_cps(fwd, variables)
+
+
+def measure_dymn10() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.models.dymn import DyMN, DyMNConfig
+    from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
+    from efficientat_tpu.ops.melspec import MelConfig
+
+    mel_cfg = MelConfig()
+    model = DyMN(DyMNConfig(t_max=1.0))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 1000, 1), jnp.float32))
+
+    def fwd(variables, waves, eps):
+        mel = log_mel_spectrogram_fused(waves + eps, mel_cfg)
+        logits, _ = model.apply(variables, mel[..., None], False, 1.0)
+        return jnp.sum(jax.nn.sigmoid(logits))
+
+    return _infer_cps(fwd, variables)
+
+
+def measure_kd_train(batch=TRAIN_BATCH, iters=TRAIN_ITERS) -> float:
+    """AudioSet KD train step (ex_audioset.py:135-199 semantics): mel with
+    SpecAugment + filterbank jitter, mixup, MN forward/backward, miss-masked
+    KD soft loss, Adam + warmup/rampdown schedule."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.models import MN, MNConfig
+    from efficientat_tpu.ops.melspec import MelConfig
+    from efficientat_tpu.train.loop import (
+        LossConfig, create_train_state, jit_steps, make_eval_step,
+        make_optimizer, make_train_step,
+    )
+    from efficientat_tpu.train.schedules import (
+        exp_warmup_linear_down, per_epoch_schedule,
+    )
+
+    mel_cfg = MelConfig(freqm=48, timem=192)
+    model = MN(MNConfig())
+    sched = per_epoch_schedule(exp_warmup_linear_down(8, 95, 80, 0.01),
+                               8e-4, steps_per_epoch=833)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               make_optimizer(sched))
+    train_step = make_train_step(
+        model, mel_cfg, LossConfig(kind="bce", mixup_alpha=0.3, kd_lambda=0.1))
+    eval_step = make_eval_step(model, mel_cfg)
+    jt, _ = jit_steps(train_step, eval_step)
+
+    rng = np.random.default_rng(0)
+    batch_data = {
+        "wave": rng.normal(size=(batch, CLIP_SECONDS * SR)).astype(np.float32) * 0.1,
+        "target": (rng.random((batch, 527)) > 0.98).astype(np.float32),
+        "teacher": rng.random((batch, 527)).astype(np.float32),
+        "teacher_valid": np.ones((batch,), np.float32),
+    }
+    # stage on device once: measures the device step; in production the
+    # host->device transfer overlaps compute via the prefetching loader
+    # (and this env's remote-TPU tunnel would otherwise dominate timing)
+    batch_data = jax.device_put(batch_data)
+    key = jax.random.PRNGKey(1)
+    state, metrics = jt(state, batch_data, key, jnp.float32(1.0))
+    float(metrics["train_loss"])  # compile + run, flush
 
     t0 = time.perf_counter()
-    acc = 0.0
+    last = None
     for i in range(iters):
-        # vary input each iter so no layer of the stack can dedup work;
-        # chaining into `acc` on host would serialize, so accumulate on
-        # device by keeping each scalar and summing at the end
-        acc = acc + forward(variables, waves, jnp.float32(i) * 1e-7)
-    total = float(acc)  # single host fetch flushes the pipeline
+        key, sub = jax.random.split(key)
+        state, metrics = jt(state, batch_data, sub, jnp.float32(1.0))
+        last = metrics["train_loss"]
+    total = float(last)  # single host fetch flushes the chain
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
     return batch * iters / dt
@@ -132,18 +219,25 @@ def measure_cpu_baseline(n_clips=4) -> float:
 
 
 def main():
-    tpu_cps = measure_tpu()
+    _setup_jax_cache()
+    mn_cps = measure_mn10()
+    dymn_cps = measure_dymn10()
+    kd_cps = measure_kd_train()
     try:
         cpu_cps = measure_cpu_baseline()
-        vs = tpu_cps / cpu_cps
+        vs = mn_cps / cpu_cps
     except Exception as e:
         print(f"cpu baseline failed: {e}", file=sys.stderr)
         vs = float("nan")
     print(json.dumps({
         "metric": "10s-clip inferences/sec/chip (mn10_as, full pipeline)",
-        "value": round(tpu_cps, 2),
+        "value": round(mn_cps, 2),
         "unit": "clips/s",
         "vs_baseline": round(vs, 2),
+        "extra": {
+            "dymn10_as_infer_clips_per_s": round(dymn_cps, 2),
+            "kd_train_step_clips_per_s_b120": round(kd_cps, 2),
+        },
     }))
 
 
