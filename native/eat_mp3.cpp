@@ -648,10 +648,11 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
     }
 
     int64_t n = pcm[0].size();
-    float* o = (float*)std::malloc(sizeof(float) * (size_t)(n * nch));
+    float* o = (float*)std::malloc(sizeof(float) * (size_t)(n * nch) + 1);
     if (!o) return 2;
     for (int ch = 0; ch < nch; ch++)
-        std::memcpy(o + ch * n, pcm[ch].data(), sizeof(float) * (size_t)n);
+        if (n > 0)
+            std::memcpy(o + ch * n, pcm[ch].data(), sizeof(float) * (size_t)n);
     *out = o;
     *n_samples = n;
     *sr_out = sr;

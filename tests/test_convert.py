@@ -123,20 +123,14 @@ def test_head_surgery():
 
 def test_convert_uses_all_meaningful_keys():
     """Every checkpoint tensor except num_batches_tracked must be consumed."""
-    from efficientat_tpu.models.convert import _TorchDict, convert_mn
+    from efficientat_tpu.models.convert import convert_mn
 
     cfg = MNConfig(width_mult=0.4, num_classes=11)
     sd = to_numpy_sd(make_mn_state_dict(cfg, seed=11))
-    t = _TorchDict(sd)
-    convert_mn(sd, cfg)
-    # re-run through a tracked dict to inspect leftovers
-    tracked = _TorchDict(sd)
-    import efficientat_tpu.models.convert as C
-    orig = C._TorchDict
-    leftovers = [k for k in sd if "num_batches_tracked" not in k]
+    meaningful = [k for k in sd if "num_batches_tracked" not in k]
     variables = convert_mn(sd, cfg)
     flat_count = sum(1 for _ in jax.tree.leaves(variables))
-    assert flat_count == len(leftovers)
+    assert flat_count == len(meaningful)
 
 
 def _mn_parity(cfg, seed, shape=(1, 1, 128, 32), rtol=1e-3, atol=1e-4):

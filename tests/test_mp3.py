@@ -8,6 +8,8 @@ reference's mp3-in-HDF5 dataset format end-to-end
 (/root/reference/datasets/audioset.py:32-47,106-177).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -152,3 +154,31 @@ def test_mp3_hdf5_dataset_end_to_end(tmp_path):
     assert np.abs(item["wave"][:8000]).max() > 0.05
     # padded region is silence
     assert np.abs(item["wave"][-1000:]).max() == 0.0
+
+
+def test_mp3_decoder_fuzz_asan(tmp_path):
+    """The decoder ingests untrusted bytes inside data-loader threads:
+    garbage, truncated, and bit-flipped streams must not crash/overflow.
+    Runs the ASan+UBSan harness (native/mp3_fuzz.cpp) when g++ exists."""
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("no g++")
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    exe = str(tmp_path / "mp3_fuzz")
+    subprocess.run(
+        ["g++", "-O1", "-g", "-std=c++17", "-fsanitize=address,undefined",
+         "-fno-sanitize-recover=all", "-o", exe,
+         os.path.join(native_dir, "mp3_fuzz.cpp"),
+         os.path.join(native_dir, "eat_mp3.cpp")],
+        check=True, capture_output=True)
+    seed = str(tmp_path / "seed.mp3")
+    pcm = (0.4 * RNG.normal(size=64000)).astype(np.float32)
+    with open(seed, "wb") as f:
+        f.write(codec_oracles.encode_mp3_lame(pcm, 32000, bitrate=128,
+                                              mode="joint"))
+    out = subprocess.run([exe, "400", seed], check=True, capture_output=True,
+                         text=True, timeout=300)
+    assert "fuzz ok" in out.stdout
