@@ -71,7 +71,9 @@ def main():
             b, ff, tt, c = x.shape
             o = w.shape[-1]
             lhs = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, ff, tt, b * c)
-            rhs = w.reshape(1, 1, b * c, o)  # per-group (ci, o) stacked
+            # group g consumes lhs channels [g*c:(g+1)*c] and produces output
+            # channels [g*o:(g+1)*o]; rhs is (1, 1, c, b*o)
+            rhs = jnp.transpose(w, (1, 0, 2)).reshape(1, 1, c, b * o)
             out = lax.conv_general_dilated(
                 lhs, rhs, (1, 1), [(0, 0), (0, 0)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
