@@ -9,9 +9,9 @@
 // across sample rates / channel modes / bitrates (tests/test_mp3.py).
 //
 // Supports: MPEG-1 + MPEG-2/2.5 (LSF), mono/stereo/dual/MS joint stereo,
-// long/short/start/stop/mixed blocks, bit reservoir, CBR + VBR streams.
-// Intensity stereo is not implemented (LAME never emits it); such frames
-// decode with intensity treated as plain stereo.
+// MPEG-1 intensity stereo, long/short/start/stop/mixed blocks, bit
+// reservoir, CBR + VBR streams. LSF intensity stereo is not implemented
+// (no known encoder emits it); such frames decode as plain/MS stereo.
 //
 // API (ctypes-bound in efficientat_tpu/data/native.py):
 //   eat_mp3_decode(data, n, &out, &n_samples, &sr, &channels) -> 0 on ok
@@ -454,6 +454,81 @@ void requantize(const int32_t* xs, const Granule& g, const ScaleFacs& sf,
     }
 }
 
+// Per-line intensity position (7 = not intensity-coded), MPEG-1: intensity
+// applies to scalefactor bands above the right channel's zero boundary
+// (per window for short blocks, ISO 11172-3 2.4.3.4.9.3). Operates on the
+// PRE-reorder spectrum: short band sfb, window w is [3*lo+w*n, 3*lo+(w+1)*n).
+void intensity_positions(const double* xr_r, const Granule& g,
+                         const ScaleFacs& sf, const int16_t* sfb_long,
+                         const int16_t* sfb_short, int* pos) {
+    for (int i = 0; i < 576; i++) pos[i] = 7;
+    auto any_nonzero = [&](int base, int n) {
+        for (int i = 0; i < n; i++)
+            if (xr_r[base + i] != 0.0) return true;
+        return false;
+    };
+    if (g.block_type == 2) {
+        int start_sfb = g.mixed ? 3 : 0;
+        for (int w = 0; w < 3; w++) {
+            int sfbcnt = start_sfb - 1;
+            for (int sfb = 12; sfb >= start_sfb; sfb--) {
+                int lo = sfb_short[sfb], n = sfb_short[sfb + 1] - lo;
+                if (any_nonzero(3 * lo + w * n, n)) { sfbcnt = sfb; break; }
+            }
+            for (int sfb = sfbcnt + 1; sfb < 13; sfb++) {
+                int lo = sfb_short[sfb], n = sfb_short[sfb + 1] - lo;
+                int p = sf.s[sfb < 12 ? sfb : 11][w];
+                for (int i = 0; i < n; i++) pos[3 * lo + w * n + i] = p;
+            }
+        }
+    } else {
+        int sfbcnt = -1;
+        for (int sfb = 21; sfb >= 0; sfb--) {
+            if (any_nonzero(sfb_long[sfb], sfb_long[sfb + 1] - sfb_long[sfb])) {
+                sfbcnt = sfb;
+                break;
+            }
+        }
+        for (int sfb = sfbcnt + 1; sfb < 22; sfb++) {
+            int p = sf.l[sfb < 21 ? sfb : 20];
+            for (int i = sfb_long[sfb]; i < sfb_long[sfb + 1]; i++) pos[i] = p;
+        }
+    }
+}
+
+// Joint-stereo reconstruction in place: MPEG-1 intensity + MS.
+void stereo_process(double* xl, double* xrr, const Granule& g_r,
+                    const ScaleFacs& sf_r, int mode_ext,
+                    const int16_t* sfb_long, const int16_t* sfb_short,
+                    bool lsf) {
+    const double inv_sqrt2 = 0.7071067811865476;
+    bool ms = (mode_ext & 2) != 0;
+    if (!(mode_ext & 1) || lsf) {  // (LSF intensity unsupported)
+        if (ms)
+            for (int i = 0; i < 576; i++) {
+                double m = xl[i], s = xrr[i];
+                xl[i] = (m + s) * inv_sqrt2;
+                xrr[i] = (m - s) * inv_sqrt2;
+            }
+        return;
+    }
+    int pos[576];
+    intensity_positions(xrr, g_r, sf_r, sfb_long, sfb_short, pos);
+    const double pi = 3.14159265358979323846;
+    for (int i = 0; i < 576; i++) {
+        if (pos[i] != 7) {
+            double ratio = std::tan(pos[i] * (pi / 12.0));
+            double l = xl[i];
+            xl[i] = l * (ratio / (1.0 + ratio));
+            xrr[i] = l * (1.0 / (1.0 + ratio));
+        } else if (ms) {
+            double m = xl[i], s = xrr[i];
+            xl[i] = (m + s) * inv_sqrt2;
+            xrr[i] = (m - s) * inv_sqrt2;
+        }
+    }
+}
+
 void reorder_short(double* xr, const Granule& g, const int16_t* sfb_short,
                    const int16_t* sfb_long) {
     if (g.block_type != 2) return;
@@ -605,12 +680,13 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
         Bits b(md.data(), (int64_t)md.size());
         ScaleFacs gr0_sf[2];
         double xr[2][576];
+        ScaleFacs sf_ch[2];
         for (int gr = 0; gr < si.ngr; gr++) {
             bool gr_ok = true;
             for (int ch = 0; ch < nch; ch++) {
                 Granule& g = si.gr[gr][ch];
                 int64_t part2_start = b.pos;
-                ScaleFacs sf;
+                ScaleFacs& sf = sf_ch[ch];
                 if (f2.lsf) {
                     read_scalefacs_lsf(b, g, sf);
                 } else {
@@ -628,14 +704,9 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
                 std::memset(xr[ch], 0, sizeof(xr[ch]));
                 requantize(xs, g, sf, sfb_long, sfb_short, xr[ch]);
             }
-            if (nch == 2 && f2.mode == 1 && (f2.mode_ext & 2) && gr_ok) {
-                const double inv_sqrt2 = 0.7071067811865476;
-                for (int i = 0; i < 576; i++) {
-                    double m = xr[0][i], s = xr[1][i];
-                    xr[0][i] = (m + s) * inv_sqrt2;
-                    xr[1][i] = (m - s) * inv_sqrt2;
-                }
-            }
+            if (nch == 2 && f2.mode == 1 && gr_ok)
+                stereo_process(xr[0], xr[1], si.gr[gr][1], sf_ch[1],
+                               f2.mode_ext, sfb_long, sfb_short, f2.lsf);
             for (int ch = 0; ch < nch; ch++) {
                 const Granule& g = si.gr[gr][ch];
                 reorder_short(xr[ch], g, sfb_short, sfb_long);

@@ -134,3 +134,36 @@ def decode_mp3_mpg123(blob: bytes):
     pcm = np.frombuffer(b"".join(out), np.float32)
     c = max(ch.value, 1)
     return pcm.reshape(-1, c).T.copy(), rate.value
+
+
+def set_mode_ext(blob: bytes, mode_ext: int) -> bytes:
+    """Rewrite every joint-stereo frame header's mode_ext bits.
+
+    Lets tests exercise intensity-stereo decode paths with a real oracle:
+    LAME never encodes intensity, but both decoders see identical bits, so
+    flipping mode_ext on an MS stream must yield identical (re)constructions.
+    """
+    data = bytearray(blob)
+    pos, n = 0, len(blob)
+    while pos + 4 <= n:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0:
+            h1, h2 = data[pos + 1], data[pos + 2]
+            version = (h1 >> 3) & 3
+            layer = (h1 >> 1) & 3
+            br = (h2 >> 4) & 15
+            sri = (h2 >> 2) & 3
+            if version != 1 and layer == 1 and 0 < br < 15 and sri < 3:
+                lsf = version != 3
+                sr = [44100, 48000, 32000][sri]
+                sr >>= 1 if version == 2 else (2 if version == 0 else 0)
+                bitrate = ([0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112,
+                            128, 144, 160] if lsf else
+                           [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                            192, 224, 256, 320])[br] * 1000
+                flen = (72 if lsf else 144) * bitrate // sr + ((h2 >> 1) & 1)
+                if ((data[pos + 3] >> 6) & 3) == 1:  # joint stereo
+                    data[pos + 3] = (data[pos + 3] & 0b11001111) | (mode_ext << 4)
+                pos += flen
+                continue
+        pos += 1
+    return bytes(data)

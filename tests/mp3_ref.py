@@ -9,9 +9,10 @@ scripts/gen_mp3_tables.py). Serves two purposes:
 2. an independent-in-implementation cross-check in tests (the third-party
    oracle is libmpg123 via tests/codec_oracles.py).
 
-Supports: MPEG-1 and MPEG-2/2.5 (LSF) Layer III, mono/stereo/joint (MS)
-stereo, long/short/mixed blocks, bit reservoir. Intensity stereo is not
-implemented (LAME never emits it); frames using it raise.
+Supports: MPEG-1 and MPEG-2/2.5 (LSF) Layer III, mono/stereo/joint (MS +
+MPEG-1 intensity) stereo, long/short/mixed blocks, bit reservoir. LSF
+intensity stereo is not implemented (no known encoder emits it); such
+frames decode with intensity treated as plain stereo.
 """
 
 from __future__ import annotations
@@ -306,6 +307,79 @@ def _requantize(xs, g, long_sf, short_sf, sfb_long, sfb_short, lsf):
     return out
 
 
+def _intensity_positions(xr_r, g, long_sf, short_sf, sfb_long, sfb_short):
+    """Per-line intensity position (7 = not intensity-coded), MPEG-1.
+
+    Intensity applies to scalefactor bands above the right channel's zero
+    boundary; for short blocks the boundary is found per window
+    (ISO 11172-3 2.4.3.4.9.3). is_pos is the right channel's scalefactor.
+    Operates on the PRE-reorder (Huffman-order) spectrum: short band sfb,
+    window w occupies [3*lo + w*n, 3*lo + (w+1)*n).
+    """
+    pos = np.full(576, 7, np.int32)
+    if g["block_type"] == 2 and not g["mixed"]:
+        for w in range(3):
+            sfbcnt = -1
+            for sfb in range(12, -1, -1):
+                lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
+                base = 3 * lo + w * n
+                if np.any(xr_r[base:base + n] != 0):
+                    sfbcnt = sfb
+                    break
+            for sfb in range(sfbcnt + 1, 13):
+                lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
+                base = 3 * lo + w * n
+                pos[base:base + n] = short_sf[min(sfb, 11)][w]
+    elif g["block_type"] == 2:  # mixed: long part then short part
+        for w in range(3):
+            sfbcnt = 2
+            for sfb in range(12, 2, -1):
+                lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
+                base = 3 * lo + w * n
+                if np.any(xr_r[base:base + n] != 0):
+                    sfbcnt = sfb
+                    break
+            for sfb in range(sfbcnt + 1, 13):
+                lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
+                base = 3 * lo + w * n
+                pos[base:base + n] = short_sf[min(sfb, 11)][w]
+    else:
+        sfbcnt = -1
+        for sfb in range(21, -1, -1):
+            if np.any(xr_r[sfb_long[sfb]:sfb_long[sfb + 1]] != 0):
+                sfbcnt = sfb
+                break
+        for sfb in range(sfbcnt + 1, 22):
+            pos[sfb_long[sfb]:sfb_long[sfb + 1]] = long_sf[min(sfb, 20)]
+    return pos
+
+
+def _stereo_process(xr_l, xr_r, g_r, long_sf_r, short_sf_r, mode_ext,
+                    sfb_long, sfb_short, lsf):
+    """Joint-stereo reconstruction: MPEG-1 intensity + MS."""
+    ms = bool(mode_ext & 2)
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    if not (mode_ext & 1) or lsf:
+        # (LSF intensity unsupported: treated as plain/MS stereo)
+        if ms:
+            m, s = xr_l.copy(), xr_r.copy()
+            return (m + s) * inv_sqrt2, (m - s) * inv_sqrt2
+        return xr_l, xr_r
+    pos = _intensity_positions(xr_r, g_r, long_sf_r, short_sf_r,
+                               sfb_long, sfb_short)
+    l_out, r_out = xr_l.copy(), xr_r.copy()
+    it = pos != 7
+    ratio = np.tan(pos[it] * (np.pi / 12.0))
+    l_out[it] = xr_l[it] * (ratio / (1.0 + ratio))
+    r_out[it] = xr_l[it] * (1.0 / (1.0 + ratio))
+    if ms:
+        rest = ~it
+        m, s = xr_l[rest], xr_r[rest]
+        l_out[rest] = (m + s) * inv_sqrt2
+        r_out[rest] = (m - s) * inv_sqrt2
+    return l_out, r_out
+
+
 def _reorder_short(xr, g, sfb_short, sfb_long):
     if g["block_type"] != 2:
         return xr
@@ -473,6 +547,7 @@ def decode(data: bytes):
         gr0_sf = {}
         for gr_idx, chs in enumerate(si["gr"]):
             xr_ch = []
+            sf_ch = []
             for ch, g in enumerate(chs):
                 part2_start = b.pos
                 if lsf:
@@ -506,13 +581,13 @@ def decode(data: bytes):
                 xr = _requantize(xs, g, long_sf, short_sf, sfb_long,
                                  sfb_short, lsf)
                 xr_ch.append(xr)
+                sf_ch.append((long_sf, short_sf))
 
             if nch == 2 and info["mode"] == 1:
-                if info["mode_ext"] & 1:
-                    raise NotImplementedError("intensity stereo")
-                if info["mode_ext"] & 2:  # MS stereo
-                    m, s = xr_ch
-                    xr_ch = [(m + s) / np.sqrt(2.0), (m - s) / np.sqrt(2.0)]
+                left, right = _stereo_process(
+                    xr_ch[0], xr_ch[1], chs[1], sf_ch[1][0], sf_ch[1][1],
+                    info["mode_ext"], sfb_long, sfb_short, lsf)
+                xr_ch = [left, right]
 
             for ch, g in enumerate(chs):
                 xr = _reorder_short(xr_ch[ch], g, sfb_short, sfb_long)

@@ -182,3 +182,38 @@ def test_mp3_decoder_fuzz_asan(tmp_path):
     out = subprocess.run([exe, "400", seed], check=True, capture_output=True,
                          text=True, timeout=300)
     assert "fuzz ok" in out.stdout
+
+
+def _intensity_source(sr, transient=False):
+    t = np.arange(sr * 2) / sr
+    if transient:
+        x = np.zeros((2, sr), np.float32)
+        for k in range(6):
+            s = k * sr // 6
+            x[0, s:s + 500] = RNG.normal(size=500) * 0.6
+            x[1, s:s + 500] = x[0, s:s + 500] * 0.3
+        return x
+    left = 0.5 * np.sin(2 * np.pi * 440 * t)
+    right = 0.45 * np.sin(2 * np.pi * 445 * t) + 0.002 * RNG.normal(size=len(t))
+    return np.stack([left, right]).astype(np.float32)
+
+
+@pytest.mark.parametrize("mode_ext", [1, 3])
+@pytest.mark.parametrize("transient", [False, True],
+                         ids=["long-blocks", "short-blocks"])
+def test_intensity_stereo_matches_mpg123(mode_ext, transient):
+    """MPEG-1 intensity stereo: LAME can't emit it, so flip mode_ext on a
+    real MS joint stream — both decoders read the same bits and must
+    reconstruct identically (incl. the per-window short-block boundary)."""
+    sr = 32000
+    base = codec_oracles.encode_mp3_lame(_intensity_source(sr, transient), sr,
+                                         bitrate=96 if not transient else 64,
+                                         mode="joint")
+    blob = codec_oracles.set_mode_ext(base, mode_ext)
+    ref, _ = codec_oracles.decode_mp3_mpg123(blob)
+    mine, _ = native.decode_mp3(blob)
+    npy, _ = mp3_ref.decode(blob)
+    n = min(ref.shape[1], mine.shape[1])
+    for ch in range(2):
+        np.testing.assert_allclose(mine[ch][:n], ref[ch][:n], atol=2e-5)
+        np.testing.assert_allclose(npy[ch][:n], ref[ch][:n], atol=2e-5)
