@@ -9,9 +9,8 @@
 // across sample rates / channel modes / bitrates (tests/test_mp3.py).
 //
 // Supports: MPEG-1 + MPEG-2/2.5 (LSF), mono/stereo/dual/MS joint stereo,
-// MPEG-1 intensity stereo, long/short/start/stop/mixed blocks, bit
-// reservoir, CBR + VBR streams. LSF intensity stereo is not implemented
-// (no known encoder emits it); such frames decode as plain/MS stereo.
+// intensity stereo (both the MPEG-1 tan-ratio and the LSF io-power
+// variants), long/short/start/stop/mixed blocks, bit reservoir, CBR + VBR.
 //
 // API (ctypes-bound in efficientat_tpu/data/native.py):
 //   eat_mp3_decode(data, n, &out, &n_samples, &sr, &channels) -> 0 on ok
@@ -278,6 +277,10 @@ const int kSlen2[] = {0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3};
 struct ScaleFacs {
     int l[22];
     int s[13][3];
+    // per-band slen (LSF only; the all-ones value marks an invalid
+    // intensity position, ISO 13818-3)
+    int l_slen[22];
+    int s_slen[13][3];
 };
 
 void read_scalefacs_v1(Bits& b, const Granule& g, const int scfsi[4],
@@ -309,7 +312,10 @@ void read_scalefacs_v1(Bits& b, const Granule& g, const int scfsi[4],
     }
 }
 
-void read_scalefacs_lsf(Bits& b, Granule& g, ScaleFacs& sf) {
+// LSF scalefactors (ISO 13818-3). The right channel of an intensity-stereo
+// frame uses sc>>1 with the intensity decompositions; per-value slen is
+// kept so the stereo stage can detect invalid (all-ones) positions.
+void read_scalefacs_lsf(Bits& b, Granule& g, ScaleFacs& sf, bool intensity) {
     std::memset(&sf, 0, sizeof(sf));
     int sc = g.scalefac_compress;
     int shape = g.block_type != 2 ? 0 : (g.mixed ? 2 : 1);
@@ -318,7 +324,29 @@ void read_scalefacs_lsf(Bits& b, Granule& g, ScaleFacs& sf) {
     static const int nr_b[3][4] = {{6, 5, 7, 3}, {9, 9, 12, 6}, {6, 9, 12, 6}};
     static const int nr_c[3][4] = {{11, 10, 0, 0}, {18, 18, 0, 0},
                                    {15, 18, 0, 0}};
-    if (sc < 400) {
+    static const int nr_ia[3][4] = {{7, 7, 7, 0}, {12, 12, 12, 0},
+                                    {6, 15, 12, 0}};
+    static const int nr_ib[3][4] = {{6, 6, 6, 3}, {12, 9, 9, 6},
+                                    {6, 12, 9, 6}};
+    static const int nr_ic[3][4] = {{8, 8, 5, 0}, {15, 12, 9, 0},
+                                    {6, 18, 9, 0}};
+    if (intensity) {
+        int isc = sc >> 1;
+        if (isc < 180) {
+            slen[0] = isc / 36; slen[1] = (isc % 36) / 6;
+            slen[2] = isc % 6; slen[3] = 0;
+            std::memcpy(nr, nr_ia[shape], sizeof(nr));
+        } else if (isc < 244) {
+            int c = isc - 180;
+            slen[0] = (c % 64) >> 4; slen[1] = (c % 16) >> 2;
+            slen[2] = c % 4; slen[3] = 0;
+            std::memcpy(nr, nr_ib[shape], sizeof(nr));
+        } else {
+            int c = isc - 244;
+            slen[0] = c / 3; slen[1] = c % 3; slen[2] = slen[3] = 0;
+            std::memcpy(nr, nr_ic[shape], sizeof(nr));
+        }
+    } else if (sc < 400) {
         slen[0] = (sc >> 4) / 5; slen[1] = (sc >> 4) % 5;
         slen[2] = (sc % 16) >> 2; slen[3] = sc % 4;
         std::memcpy(nr, nr_a[shape], sizeof(nr));
@@ -333,22 +361,36 @@ void read_scalefacs_lsf(Bits& b, Granule& g, ScaleFacs& sf) {
         std::memcpy(nr, nr_c[shape], sizeof(nr));
         g.preflag = 1;
     }
-    int flat[54], k = 0;
+    int flat[54], fsl[54], k = 0;
     for (int i = 0; i < 4; i++)
-        for (int j = 0; j < nr[i]; j++)
-            flat[k++] = slen[i] ? (int)b.get(slen[i]) : 0;
+        for (int j = 0; j < nr[i]; j++) {
+            flat[k] = slen[i] ? (int)b.get(slen[i]) : 0;
+            fsl[k++] = slen[i];
+        }
     if (g.block_type == 2) {
         int p = 0;
         if (g.mixed) {
-            for (int sfb = 0; sfb < 6; sfb++) sf.l[sfb] = flat[p++];
+            for (int sfb = 0; sfb < 6; sfb++, p++) {
+                sf.l[sfb] = flat[p];
+                sf.l_slen[sfb] = fsl[p];
+            }
             for (int sfb = 3; sfb < 12; sfb++)
-                for (int w = 0; w < 3; w++) sf.s[sfb][w] = flat[p++];
+                for (int w = 0; w < 3; w++, p++) {
+                    sf.s[sfb][w] = flat[p];
+                    sf.s_slen[sfb][w] = fsl[p];
+                }
         } else {
             for (int sfb = 0; sfb < 12; sfb++)
-                for (int w = 0; w < 3; w++) sf.s[sfb][w] = flat[p++];
+                for (int w = 0; w < 3; w++, p++) {
+                    sf.s[sfb][w] = flat[p];
+                    sf.s_slen[sfb][w] = fsl[p];
+                }
         }
     } else {
-        for (int sfb = 0; sfb < 21; sfb++) sf.l[sfb] = flat[sfb];
+        for (int sfb = 0; sfb < 21; sfb++) {
+            sf.l[sfb] = flat[sfb];
+            sf.l_slen[sfb] = fsl[sfb];
+        }
     }
 }
 
@@ -460,8 +502,8 @@ void requantize(const int32_t* xs, const Granule& g, const ScaleFacs& sf,
 // PRE-reorder spectrum: short band sfb, window w is [3*lo+w*n, 3*lo+(w+1)*n).
 void intensity_positions(const double* xr_r, const Granule& g,
                          const ScaleFacs& sf, const int16_t* sfb_long,
-                         const int16_t* sfb_short, int* pos) {
-    for (int i = 0; i < 576; i++) pos[i] = 7;
+                         const int16_t* sfb_short, int* pos, int* sl) {
+    for (int i = 0; i < 576; i++) { pos[i] = -1; sl[i] = 0; }
     auto any_nonzero = [&](int base, int n) {
         for (int i = 0; i < n; i++)
             if (xr_r[base + i] != 0.0) return true;
@@ -477,8 +519,11 @@ void intensity_positions(const double* xr_r, const Granule& g,
             }
             for (int sfb = sfbcnt + 1; sfb < 13; sfb++) {
                 int lo = sfb_short[sfb], n = sfb_short[sfb + 1] - lo;
-                int p = sf.s[sfb < 12 ? sfb : 11][w];
-                for (int i = 0; i < n; i++) pos[3 * lo + w * n + i] = p;
+                int q = sfb < 12 ? sfb : 11;
+                for (int i = 0; i < n; i++) {
+                    pos[3 * lo + w * n + i] = sf.s[q][w];
+                    sl[3 * lo + w * n + i] = sf.s_slen[q][w];
+                }
             }
         }
     } else {
@@ -490,20 +535,23 @@ void intensity_positions(const double* xr_r, const Granule& g,
             }
         }
         for (int sfb = sfbcnt + 1; sfb < 22; sfb++) {
-            int p = sf.l[sfb < 21 ? sfb : 20];
-            for (int i = sfb_long[sfb]; i < sfb_long[sfb + 1]; i++) pos[i] = p;
+            int q = sfb < 21 ? sfb : 20;
+            for (int i = sfb_long[sfb]; i < sfb_long[sfb + 1]; i++) {
+                pos[i] = sf.l[q];
+                sl[i] = sf.l_slen[q];
+            }
         }
     }
 }
 
-// Joint-stereo reconstruction in place: MPEG-1 intensity + MS.
+// Joint-stereo reconstruction in place: intensity (MPEG-1 + LSF) and MS.
 void stereo_process(double* xl, double* xrr, const Granule& g_r,
                     const ScaleFacs& sf_r, int mode_ext,
                     const int16_t* sfb_long, const int16_t* sfb_short,
                     bool lsf) {
     const double inv_sqrt2 = 0.7071067811865476;
     bool ms = (mode_ext & 2) != 0;
-    if (!(mode_ext & 1) || lsf) {  // (LSF intensity unsupported)
+    if (!(mode_ext & 1)) {
         if (ms)
             for (int i = 0; i < 576; i++) {
                 double m = xl[i], s = xrr[i];
@@ -512,15 +560,33 @@ void stereo_process(double* xl, double* xrr, const Granule& g_r,
             }
         return;
     }
-    int pos[576];
-    intensity_positions(xrr, g_r, sf_r, sfb_long, sfb_short, pos);
+    int pos[576], sl[576];
+    intensity_positions(xrr, g_r, sf_r, sfb_long, sfb_short, pos, sl);
     const double pi = 3.14159265358979323846;
+    // LSF: invalid when all slen bits set; io from sc's LSB (13818-3)
+    const double io = std::pow(2.0,
+                               -0.25 * ((g_r.scalefac_compress & 1) + 1));
     for (int i = 0; i < 576; i++) {
-        if (pos[i] != 7) {
-            double ratio = std::tan(pos[i] * (pi / 12.0));
-            double l = xl[i];
-            xl[i] = l * (ratio / (1.0 + ratio));
-            xrr[i] = l * (1.0 / (1.0 + ratio));
+        bool in_region = pos[i] >= 0;
+        bool valid = in_region &&
+            (lsf ? !(sl[i] > 0 && pos[i] == (1 << sl[i]) - 1) : pos[i] != 7);
+        if (valid) {
+            double l = xl[i], k0, k1;
+            if (lsf) {
+                if (pos[i] & 1) {
+                    k0 = std::pow(io, (pos[i] + 1) / 2);
+                    k1 = 1.0;
+                } else {
+                    k0 = 1.0;
+                    k1 = std::pow(io, pos[i] / 2);
+                }
+            } else {
+                double ratio = std::tan(pos[i] * (pi / 12.0));
+                k0 = ratio / (1.0 + ratio);
+                k1 = 1.0 / (1.0 + ratio);
+            }
+            xl[i] = l * k0;
+            xrr[i] = l * k1;
         } else if (ms) {
             double m = xl[i], s = xrr[i];
             xl[i] = (m + s) * inv_sqrt2;
@@ -688,7 +754,9 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
                 int64_t part2_start = b.pos;
                 ScaleFacs& sf = sf_ch[ch];
                 if (f2.lsf) {
-                    read_scalefacs_lsf(b, g, sf);
+                    bool intensity = nch == 2 && f2.mode == 1 &&
+                                     (f2.mode_ext & 1) && ch == 1;
+                    read_scalefacs_lsf(b, g, sf, intensity);
                 } else {
                     read_scalefacs_v1(b, g, si.scfsi[ch],
                                       gr == 1 ? &gr0_sf[ch] : nullptr, gr, sf);

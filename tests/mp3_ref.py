@@ -160,13 +160,29 @@ def _read_side_info(b: Bits, nch: int, lsf: bool):
     return si
 
 
-# MPEG-2 LSF scalefactors (ISO 13818-3, non-intensity): scalefac_compress
-# selects one of three slen decompositions, each with its own partition of
-# the scalefactor list (by block shape: long / short / mixed).
-def _read_scalefacs_lsf(b: Bits, g):
+# MPEG-2 LSF scalefactors (ISO 13818-3): scalefac_compress selects one of
+# three slen decompositions, each with its own partition of the scalefactor
+# list (by block shape: long / short / mixed). The right channel of an
+# intensity-stereo frame uses sc>>1 with the intensity decompositions, and
+# an all-ones value in a band means "position invalid" — the per-value slen
+# is returned so the stereo stage can detect that.
+def _read_scalefacs_lsf(b: Bits, g, intensity: bool = False):
     sc = g["scalefac_compress"]
     shape = 0 if g["block_type"] != 2 else (2 if g["mixed"] else 1)
-    if sc < 400:
+    if intensity:
+        isc = sc >> 1
+        if isc < 180:
+            slen = [isc // 36, (isc % 36) // 6, isc % 6, 0]
+            nr = [[7, 7, 7, 0], [12, 12, 12, 0], [6, 15, 12, 0]][shape]
+        elif isc < 244:
+            c = isc - 180
+            slen = [(c % 64) >> 4, (c % 16) >> 2, c % 4, 0]
+            nr = [[6, 6, 6, 3], [12, 9, 9, 6], [6, 12, 9, 6]][shape]
+        else:
+            c = isc - 244
+            slen = [c // 3, c % 3, 0, 0]
+            nr = [[8, 8, 5, 0], [15, 12, 9, 0], [6, 18, 9, 0]][shape]
+    elif sc < 400:
         slen = [(sc >> 4) // 5, (sc >> 4) % 5, (sc % 16) >> 2, sc % 4]
         nr = [[6, 5, 5, 5], [9, 9, 9, 9], [6, 9, 9, 9]][shape]
     elif sc < 500:
@@ -178,11 +194,36 @@ def _read_scalefacs_lsf(b: Bits, g):
         slen = [c // 3, c % 3, 0, 0]
         nr = [[11, 10, 0, 0], [18, 18, 0, 0], [15, 18, 0, 0]][shape]
         g["preflag"] = 1
-    vals = []
+    vals, vslens = [], []
     for n_i, sl in zip(nr, slen):
         for _ in range(n_i):
             vals.append(b.get(sl) if sl else 0)
-    return vals  # flat; short-block layout = sfb-major, 3 windows each
+            vslens.append(sl)
+    # scatter the flat list into (long, short) layouts + per-band slens
+    long_sf = np.zeros(22, np.int32)
+    short_sf = np.zeros((13, 3), np.int32)
+    long_sl = np.zeros(22, np.int32)
+    short_sl = np.zeros((13, 3), np.int32)
+    if g["block_type"] == 2:
+        k = 0
+        if g["mixed"]:
+            for sfb in range(6):
+                long_sf[sfb], long_sl[sfb] = vals[k], vslens[k]
+                k += 1
+            for sfb in range(3, 12):
+                for w in range(3):
+                    short_sf[sfb][w], short_sl[sfb][w] = vals[k], vslens[k]
+                    k += 1
+        else:
+            for sfb in range(12):
+                for w in range(3):
+                    short_sf[sfb][w], short_sl[sfb][w] = vals[k], vslens[k]
+                    k += 1
+    else:
+        for sfb in range(min(len(vals), 21)):
+            long_sf[sfb] = vals[sfb]
+            long_sl[sfb] = vslens[sfb]
+    return long_sf, short_sf, long_sl, short_sl
 
 
 def _read_scalefacs(b: Bits, g, scfsi, gr0_sf, gr_idx):
@@ -307,8 +348,9 @@ def _requantize(xs, g, long_sf, short_sf, sfb_long, sfb_short, lsf):
     return out
 
 
-def _intensity_positions(xr_r, g, long_sf, short_sf, sfb_long, sfb_short):
-    """Per-line intensity position (7 = not intensity-coded), MPEG-1.
+def _intensity_positions(xr_r, g, long_sf, short_sf, long_sl, short_sl,
+                         sfb_long, sfb_short):
+    """Per-line intensity position + its slen; pos -1 = not in the region.
 
     Intensity applies to scalefactor bands above the right channel's zero
     boundary; for short blocks the boundary is found per window
@@ -316,11 +358,13 @@ def _intensity_positions(xr_r, g, long_sf, short_sf, sfb_long, sfb_short):
     Operates on the PRE-reorder (Huffman-order) spectrum: short band sfb,
     window w occupies [3*lo + w*n, 3*lo + (w+1)*n).
     """
-    pos = np.full(576, 7, np.int32)
-    if g["block_type"] == 2 and not g["mixed"]:
+    pos = np.full(576, -1, np.int32)
+    sl = np.zeros(576, np.int32)
+    if g["block_type"] == 2:
+        start_sfb = 3 if g["mixed"] else 0
         for w in range(3):
-            sfbcnt = -1
-            for sfb in range(12, -1, -1):
+            sfbcnt = start_sfb - 1
+            for sfb in range(12, start_sfb - 1, -1):
                 lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
                 base = 3 * lo + w * n
                 if np.any(xr_r[base:base + n] != 0):
@@ -330,19 +374,7 @@ def _intensity_positions(xr_r, g, long_sf, short_sf, sfb_long, sfb_short):
                 lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
                 base = 3 * lo + w * n
                 pos[base:base + n] = short_sf[min(sfb, 11)][w]
-    elif g["block_type"] == 2:  # mixed: long part then short part
-        for w in range(3):
-            sfbcnt = 2
-            for sfb in range(12, 2, -1):
-                lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
-                base = 3 * lo + w * n
-                if np.any(xr_r[base:base + n] != 0):
-                    sfbcnt = sfb
-                    break
-            for sfb in range(sfbcnt + 1, 13):
-                lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
-                base = 3 * lo + w * n
-                pos[base:base + n] = short_sf[min(sfb, 11)][w]
+                sl[base:base + n] = short_sl[min(sfb, 11)][w]
     else:
         sfbcnt = -1
         for sfb in range(21, -1, -1):
@@ -351,27 +383,43 @@ def _intensity_positions(xr_r, g, long_sf, short_sf, sfb_long, sfb_short):
                 break
         for sfb in range(sfbcnt + 1, 22):
             pos[sfb_long[sfb]:sfb_long[sfb + 1]] = long_sf[min(sfb, 20)]
-    return pos
+            sl[sfb_long[sfb]:sfb_long[sfb + 1]] = long_sl[min(sfb, 20)]
+    return pos, sl
 
 
-def _stereo_process(xr_l, xr_r, g_r, long_sf_r, short_sf_r, mode_ext,
-                    sfb_long, sfb_short, lsf):
-    """Joint-stereo reconstruction: MPEG-1 intensity + MS."""
+def _stereo_process(xr_l, xr_r, g_r, sf_r, mode_ext, sfb_long, sfb_short,
+                    lsf):
+    """Joint-stereo reconstruction: intensity (MPEG-1 + LSF) and MS."""
     ms = bool(mode_ext & 2)
     inv_sqrt2 = 1.0 / np.sqrt(2.0)
-    if not (mode_ext & 1) or lsf:
-        # (LSF intensity unsupported: treated as plain/MS stereo)
+    if not (mode_ext & 1):
         if ms:
             m, s = xr_l.copy(), xr_r.copy()
             return (m + s) * inv_sqrt2, (m - s) * inv_sqrt2
         return xr_l, xr_r
-    pos = _intensity_positions(xr_r, g_r, long_sf_r, short_sf_r,
-                               sfb_long, sfb_short)
+    long_sf, short_sf, long_sl, short_sl = sf_r
+    pos, sl = _intensity_positions(xr_r, g_r, long_sf, short_sf,
+                                   long_sl, short_sl, sfb_long, sfb_short)
+    in_region = pos >= 0
+    if lsf:
+        # 13818-3: positions are invalid when all slen bits are set; legal
+        # ones scale the carrier by io^((p+1)/2) on one side, io from the
+        # right granule's scalefac_compress LSB
+        illegal = in_region & (sl > 0) & (pos == (1 << sl) - 1)
+        it = in_region & ~illegal
+        io = 2.0 ** (-0.25 * ((g_r["scalefac_compress"] & 1) + 1))
+        p = pos[it]
+        k0 = np.where(p % 2 == 1, io ** ((p + 1) // 2), 1.0)
+        k1 = np.where(p % 2 == 1, 1.0, io ** (p // 2))
+    else:
+        illegal = in_region & (pos == 7)
+        it = in_region & ~illegal
+        ratio = np.tan(pos[it] * (np.pi / 12.0))
+        k0 = ratio / (1.0 + ratio)
+        k1 = 1.0 / (1.0 + ratio)
     l_out, r_out = xr_l.copy(), xr_r.copy()
-    it = pos != 7
-    ratio = np.tan(pos[it] * (np.pi / 12.0))
-    l_out[it] = xr_l[it] * (ratio / (1.0 + ratio))
-    r_out[it] = xr_l[it] * (1.0 / (1.0 + ratio))
+    l_out[it] = xr_l[it] * k0
+    r_out[it] = xr_l[it] * k1
     if ms:
         rest = ~it
         m, s = xr_l[rest], xr_r[rest]
@@ -551,41 +599,26 @@ def decode(data: bytes):
             for ch, g in enumerate(chs):
                 part2_start = b.pos
                 if lsf:
-                    flat = _read_scalefacs_lsf(b, g)
-                    long_sf = np.zeros(22, np.int32)
-                    short_sf = np.zeros((13, 3), np.int32)
-                    if g["block_type"] == 2:
-                        k = 0
-                        if g["mixed"]:
-                            for sfb in range(6):
-                                long_sf[sfb] = flat[k]
-                                k += 1
-                            for sfb in range(3, 12):
-                                for w in range(3):
-                                    short_sf[sfb][w] = flat[k]
-                                    k += 1
-                        else:
-                            for sfb in range(12):
-                                for w in range(3):
-                                    short_sf[sfb][w] = flat[k]
-                                    k += 1
-                    else:
-                        for sfb in range(min(len(flat), 21)):
-                            long_sf[sfb] = flat[sfb]
+                    intensity = (nch == 2 and info["mode"] == 1
+                                 and bool(info["mode_ext"] & 1) and ch == 1)
+                    long_sf, short_sf, long_sl, short_sl = \
+                        _read_scalefacs_lsf(b, g, intensity)
                 else:
                     long_sf, short_sf = _read_scalefacs(
                         b, g, si["scfsi"][ch], gr0_sf.get(ch), gr_idx)
                     gr0_sf.setdefault(ch, (long_sf, short_sf))
                     gr0_sf[ch] = (long_sf, short_sf)
+                    long_sl = np.zeros(22, np.int32)
+                    short_sl = np.zeros((13, 3), np.int32)
                 xs = _huffman_spectrum(b, g, sfb_long, sfb_short, part2_start)
                 xr = _requantize(xs, g, long_sf, short_sf, sfb_long,
                                  sfb_short, lsf)
                 xr_ch.append(xr)
-                sf_ch.append((long_sf, short_sf))
+                sf_ch.append((long_sf, short_sf, long_sl, short_sl))
 
             if nch == 2 and info["mode"] == 1:
                 left, right = _stereo_process(
-                    xr_ch[0], xr_ch[1], chs[1], sf_ch[1][0], sf_ch[1][1],
+                    xr_ch[0], xr_ch[1], chs[1], sf_ch[1],
                     info["mode_ext"], sfb_long, sfb_short, lsf)
                 xr_ch = [left, right]
 

@@ -185,16 +185,22 @@ def test_mp3_decoder_fuzz_asan(tmp_path):
 
 
 def _intensity_source(sr, transient=False):
+    # Deterministic content (fixed local RNG): mode_ext rewriting makes the
+    # right channel's side info get reinterpreted, and sufficiently noisy
+    # content can desync into streams mpg123 itself rejects ("dequantization
+    # failed") — those aren't comparable. This quiet-right material stays
+    # valid under reinterpretation (verified: mpg123 decodes silently).
+    rng = np.random.default_rng(42)
     t = np.arange(sr * 2) / sr
     if transient:
         x = np.zeros((2, sr), np.float32)
         for k in range(6):
             s = k * sr // 6
-            x[0, s:s + 500] = RNG.normal(size=500) * 0.6
+            x[0, s:s + 500] = rng.normal(size=500) * 0.6
             x[1, s:s + 500] = x[0, s:s + 500] * 0.3
         return x
     left = 0.5 * np.sin(2 * np.pi * 440 * t)
-    right = 0.45 * np.sin(2 * np.pi * 445 * t) + 0.002 * RNG.normal(size=len(t))
+    right = 0.45 * np.sin(2 * np.pi * 445 * t) + 0.002 * rng.normal(size=len(t))
     return np.stack([left, right]).astype(np.float32)
 
 
@@ -209,6 +215,23 @@ def test_intensity_stereo_matches_mpg123(mode_ext, transient):
     base = codec_oracles.encode_mp3_lame(_intensity_source(sr, transient), sr,
                                          bitrate=96 if not transient else 64,
                                          mode="joint")
+    blob = codec_oracles.set_mode_ext(base, mode_ext)
+    ref, _ = codec_oracles.decode_mp3_mpg123(blob)
+    mine, _ = native.decode_mp3(blob)
+    npy, _ = mp3_ref.decode(blob)
+    n = min(ref.shape[1], mine.shape[1])
+    for ch in range(2):
+        np.testing.assert_allclose(mine[ch][:n], ref[ch][:n], atol=2e-5)
+        np.testing.assert_allclose(npy[ch][:n], ref[ch][:n], atol=2e-5)
+
+
+@pytest.mark.parametrize("mode_ext", [1, 3])
+@pytest.mark.parametrize("sr", [16000, 22050])
+def test_lsf_intensity_stereo_matches_mpg123(mode_ext, sr):
+    """MPEG-2 (LSF) intensity stereo: io-power reconstruction + the
+    intensity scalefactor partitions for the right channel (13818-3)."""
+    base = codec_oracles.encode_mp3_lame(
+        _intensity_source(sr), sr, bitrate=48, mode="joint")
     blob = codec_oracles.set_mode_ext(base, mode_ext)
     ref, _ = codec_oracles.decode_mp3_mpg123(blob)
     mine, _ = native.decode_mp3(blob)
