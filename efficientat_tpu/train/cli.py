@@ -181,10 +181,11 @@ def run_train(task_name: str, argv):
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     mel_cfg = _mel_config(args)
 
-    train_ds, sampler, eval_ds = build_datasets(spec, args)
-    train_loader = Loader(train_ds, args.batch_size, sampler=sampler,
-                          num_threads=args.num_workers, drop_last=True,
-                          seed=args.seed)
+    train_ds, sampler, eval_ds = build_datasets(spec, args,
+                                                eval_only=args.eval_only)
+    train_loader = None if train_ds is None else Loader(
+        train_ds, args.batch_size, sampler=sampler,
+        num_threads=args.num_workers, drop_last=True, seed=args.seed)
     variable_eval = bool(getattr(args, "variable_eval_length", False))
     eval_bs = min(args.batch_size, len(eval_ds))
     if variable_eval:
@@ -198,7 +199,7 @@ def run_train(task_name: str, argv):
                              seed=args.seed)
 
     model, pretrained_variables = _build_model(spec, args, dtype)
-    steps_per_epoch = max(len(train_loader), 1)
+    steps_per_epoch = max(len(train_loader), 1) if train_loader else 1
     lr = args.max_lr if hasattr(args, "max_lr") else args.lr
     sched = per_epoch_schedule(
         exp_warmup_linear_down(args.warm_up_len, args.ramp_down_len,

@@ -118,17 +118,21 @@ class SyntheticAudioDataset(Dataset):
         return item
 
 
-def build_datasets(spec: TaskSpec, args):
+def build_datasets(spec: TaskSpec, args, eval_only: bool = False):
     """Returns (train_ds, sampler_or_None, eval_ds).
 
     ``args.split`` selects the held-out set where the dataset distinguishes
     one: FSD50K has both a validation split (used during training) and a
     final eval split (used by `evaluate`, ex_fsd50k.py:216-219).
+    ``eval_only`` skips the training pipeline (no HDF5 label scan for the
+    balanced sampler, no train dataset) — reference evaluate() builds only
+    the eval loader too (ex_audioset.py:259-282).
     """
     split = getattr(args, "split", None) or "val"
     if getattr(args, "synthetic", 0):
         n = args.synthetic
-        return (SyntheticAudioDataset(spec, n, args.resample_rate),
+        return (None if eval_only else
+                SyntheticAudioDataset(spec, n, args.resample_rate),
                 None,
                 SyntheticAudioDataset(spec, max(n // 2, 2), args.resample_rate,
                                       seed=1 if split == "val" else 2))
@@ -137,6 +141,8 @@ def build_datasets(spec: TaskSpec, args):
     if spec.name == "audioset":
         from efficientat_tpu.data import audioset as m
 
+        if eval_only:
+            return None, None, m.get_test_set(d, args.resample_rate)
         train = m.get_full_training_set(d, args.resample_rate,
                                         roll=args.roll, wavmix=args.wavmix,
                                         gain_augment=args.gain_augment)
@@ -145,7 +151,8 @@ def build_datasets(spec: TaskSpec, args):
     if spec.name == "esc50":
         from efficientat_tpu.data import esc50 as m
 
-        return (m.get_training_set(d, args.resample_rate, not args.no_roll,
+        return (None if eval_only else
+                m.get_training_set(d, args.resample_rate, not args.no_roll,
                                    not args.no_wavmix, args.gain_augment,
                                    args.fold),
                 None, m.get_test_set(d, args.resample_rate, args.fold))
@@ -153,21 +160,24 @@ def build_datasets(spec: TaskSpec, args):
         from efficientat_tpu.data import fsd50k as m
 
         held_out = m.get_eval_set if split == "eval" else m.get_valid_set
-        return (m.get_training_set(d, args.resample_rate, not args.no_roll,
+        return (None if eval_only else
+                m.get_training_set(d, args.resample_rate, not args.no_roll,
                                    not args.no_wavmix, args.gain_augment),
                 None,
                 held_out(d, args.resample_rate, args.variable_eval_length))
     if spec.name == "dcase20":
         from efficientat_tpu.data import dcase20 as m
 
-        return (m.get_training_set(d, args.cache_path, args.resample_rate,
+        return (None if eval_only else
+                m.get_training_set(d, args.cache_path, args.resample_rate,
                                    not args.no_roll, args.gain_augment,
                                    not args.no_wavmix),
                 None, m.get_test_set(d, args.cache_path, args.resample_rate))
     if spec.name == "openmic":
         from efficientat_tpu.data import openmic as m
 
-        return (m.get_training_set(d, args.resample_rate, not args.no_roll,
+        return (None if eval_only else
+                m.get_training_set(d, args.resample_rate, not args.no_roll,
                                    not args.no_wavmix, args.gain_augment),
                 None, m.get_test_set(d, args.resample_rate))
     raise KeyError(spec.name)
