@@ -201,6 +201,57 @@ int eat_resample(const float* in, int64_t n_in, int sr_in, int sr_out,
   return 0;
 }
 
+// ----------------------------------------------------- format dispatch
+
+// First-party mp3 decoder (eat_mp3.cpp).
+int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
+                   int64_t* n_samples, int* sr_out, int* channels_out);
+
+// Decode a .wav or .mp3 file to mono float32. Caller frees with eat_free.
+int eat_decode_file(const char* path, float** out, int64_t* n_samples,
+                    int* sr) {
+  size_t len = strlen(path);
+  bool is_mp3 = len >= 4 && (strcmp(path + len - 4, ".mp3") == 0 ||
+                             strcmp(path + len - 4, ".MP3") == 0);
+  if (!is_mp3) return eat_read_wav(path, 1, out, n_samples, sr);
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long sz = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf((size_t)sz);
+  if (sz > 0 && fread(buf.data(), 1, (size_t)sz, f) != (size_t)sz) {
+    fclose(f);
+    return 1;
+  }
+  fclose(f);
+  float* pcm = nullptr;
+  int64_t n = 0;
+  int ch = 0;
+  int rc = eat_mp3_decode(buf.data(), sz, &pcm, &n, sr, &ch);
+  if (rc != 0) return rc;
+  if (ch <= 1) {
+    *out = pcm;
+    *n_samples = n;
+    return 0;
+  }
+  // mono mixdown of planar channels
+  float* mono = (float*)malloc(sizeof(float) * (size_t)n + 1);
+  if (!mono) {
+    free(pcm);
+    return 2;
+  }
+  for (int64_t i = 0; i < n; i++) {
+    double acc = 0.0;
+    for (int c = 0; c < ch; c++) acc += pcm[(int64_t)c * n + i];
+    mono[i] = (float)(acc / ch);
+  }
+  free(pcm);
+  *out = mono;
+  *n_samples = n;
+  return 0;
+}
+
 // --------------------------------------------------------- prefetch pool
 
 struct Job {
@@ -239,7 +290,7 @@ struct Pool {
       float* raw = nullptr;
       int64_t n = 0;
       int sr = 0;
-      res.status = eat_read_wav(job.path.c_str(), 1, &raw, &n, &sr);
+      res.status = eat_decode_file(job.path.c_str(), &raw, &n, &sr);
       if (res.status == 0) {
         float* rs = raw;
         int64_t n_rs = n;
