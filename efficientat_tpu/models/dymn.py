@@ -341,6 +341,8 @@ class DyMNConfig:
     t_min: float = 1.0
     t0_slope: float = 1.0
     t1_slope: float = 0.02
+    # rematerialize block activations in the backward pass (jax.checkpoint)
+    remat: bool = False
 
     def block_table(self):
         return mn_block_table(self.width_mult, self.reduced_tail, self.dilated,
@@ -374,18 +376,22 @@ class DyMN(nn.Module):
 
         x = ConvNormAct(table[0].input_channels, cfg.in_conv_kernel,
                         cfg.in_conv_stride, dtype=self.dtype, name="stem")(x, train)
+        dy_cls = (nn.remat(DYBlock, static_argnums=(2,)) if cfg.remat
+                  else DYBlock)
+        static_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
+                      if cfg.remat else InvertedResidual)
         for i, cnf in enumerate(table):
             if dy_mask[i]:
-                x = DYBlock(cnf, cfg.width_mult, cfg.context_ratio,
-                            cfg.max_context_size, cfg.min_context_size,
-                            cfg.dyrelu_k, cfg.dyconv_k, cfg.no_dyrelu,
-                            cfg.no_dyconv, cfg.no_ca, dtype=self.dtype,
-                            name=f"block{i}")(x, train, temperature)
+                x = dy_cls(cnf, cfg.width_mult, cfg.context_ratio,
+                           cfg.max_context_size, cfg.min_context_size,
+                           cfg.dyrelu_k, cfg.dyconv_k, cfg.no_dyrelu,
+                           cfg.no_dyconv, cfg.no_ca, dtype=self.dtype,
+                           name=f"block{i}")(x, train, temperature)
             else:
                 # static blocks in DyMN carry no SE (DynamicInvertedResidualConfig
                 # hardwires use_se=False, dy_block.py:30)
-                x = InvertedResidual(cnf, se_dims=None, dtype=self.dtype,
-                                     name=f"block{i}")(x, train)
+                x = static_cls(cnf, se_dims=None, dtype=self.dtype,
+                               name=f"block{i}")(x, train)
         x = ConvNormAct(6 * table[-1].out_channels, 1, dtype=self.dtype,
                         name="tail")(x, train)
 

@@ -85,6 +85,10 @@ class MNConfig:
     in_conv_stride: int = 2
     in_channels: int = 1
     dropout: float = 0.2
+    # rematerialize each block's activations in the backward pass
+    # (jax.checkpoint): trades ~30% more FLOPs for O(depth) less activation
+    # memory — lets the big widths train at large batch on one chip
+    remat: bool = False
 
     def block_table(self):
         return mn_block_table(self.width_mult, self.reduced_tail, self.dilated,
@@ -121,10 +125,12 @@ class MN(nn.Module):
 
         x = ConvNormAct(table[0].input_channels, cfg.in_conv_kernel,
                         cfg.in_conv_stride, dtype=self.dtype, name="stem")(x, train)
+        block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
+                     if cfg.remat else InvertedResidual)
         for i, cnf in enumerate(table):
-            x = InvertedResidual(cnf, se_dims, cfg.se_agg, cfg.se_r,
-                                 f_dim=fm_sizes[i][0], t_dim=fm_sizes[i][1],
-                                 dtype=self.dtype, name=f"block{i}")(x, train)
+            x = block_cls(cnf, se_dims, cfg.se_agg, cfg.se_r,
+                          f_dim=fm_sizes[i][0], t_dim=fm_sizes[i][1],
+                          dtype=self.dtype, name=f"block{i}")(x, train)
         x = ConvNormAct(6 * table[-1].out_channels, 1, dtype=self.dtype,
                         name="tail")(x, train)
 

@@ -33,6 +33,9 @@ def _build_parser(spec):
     p.add_argument("--export", type=str, default=None,
                    help="write final weights (msgpack) to this path")
     p.add_argument("--bf16", action="store_true", default=False)
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize block activations in backward "
+                        "(jax.checkpoint): big widths / batches on one chip")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--keep_checkpoints", type=int, default=1)
     p.add_argument("--experiment_name", type=str, default=None)
@@ -69,22 +72,25 @@ def _build_model(spec, args, dtype):
 
     name = args.model_name
     width = NAME_TO_WIDTH(name) if args.pretrained else args.model_width
-    pretrained_variables = None
+    remat = bool(getattr(args, "remat", False))
     if args.pretrained:
         from efficientat_tpu.models.convert import load_pretrained
 
         model, variables, _ = load_pretrained(name, num_classes=spec.num_classes,
                                               dtype=dtype)
-        cfg = model.cfg
+        cfg = dataclasses.replace(model.cfg, remat=remat)
         if isinstance(cfg, DyMNConfig):
             cfg = dataclasses.replace(cfg, t_max=args.pretrain_final_temp)
             model = DyMN(cfg, dtype=dtype)
+        else:
+            model = MN(cfg, dtype=dtype)
         return model, variables
     if name.startswith("dymn"):
-        cfg = DyMNConfig(num_classes=spec.num_classes, width_mult=width)
+        cfg = DyMNConfig(num_classes=spec.num_classes, width_mult=width,
+                         remat=remat)
         return DyMN(cfg, dtype=dtype), None
     cfg = MNConfig(num_classes=spec.num_classes, width_mult=width,
-                   head_type=args.head_type, se_dims=args.se_dims)
+                   head_type=args.head_type, se_dims=args.se_dims, remat=remat)
     return MN(cfg, dtype=dtype), None
 
 

@@ -5,6 +5,8 @@ Parameter counts are compared against the reference's published table
 layer, width-multiplied channel count, and head dimension matches.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -164,3 +166,44 @@ def test_mn_jit_forward():
     fn = jax.jit(lambda v, x: model.apply(v, x))
     logits, emb = fn(variables, x)
     assert logits.shape == (2, 8)
+
+
+def test_remat_is_numerically_transparent():
+    """remat=True (jax.checkpoint per block) must not change forward logits
+    or training gradients — only the backward memory/FLOP tradeoff."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.models import MN, MNConfig
+    from efficientat_tpu.models.dymn import DyMN, DyMNConfig
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 128, 48, 1)).astype(np.float32) * 0.5)
+
+    for make, cfg_cls, extra in [
+        (MN, MNConfig, {}),
+        (DyMN, DyMNConfig, {"t_max": 1.0}),
+    ]:
+        cfg = cfg_cls(width_mult=0.4, num_classes=7, **extra)
+        cfg_r = dataclasses.replace(cfg, remat=True)
+        model, model_r = make(cfg), make(cfg_r)
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        out = model.apply(variables, x)[0]
+        out_r = model_r.apply(variables, x)[0]  # same params tree
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out_r),
+                                   rtol=1e-6, atol=1e-6)
+
+        def loss(m):
+            def f(params):
+                logits, _ = m.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]}, x)
+                return jnp.sum(logits ** 2)
+            return f
+
+        g = jax.grad(loss(model))(variables["params"])
+        g_r = jax.grad(loss(model_r))(variables["params"])
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
