@@ -37,35 +37,47 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
     if not os.path.exists(_SO_PATH):
         return None
-    lib = ctypes.CDLL(_SO_PATH)
-    lib.eat_read_wav.restype = ctypes.c_int
-    lib.eat_read_wav.argtypes = [
-        ctypes.c_char_p, ctypes.c_int,
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
-    lib.eat_resample.restype = ctypes.c_int
-    lib.eat_resample.argtypes = [
-        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-        ctypes.POINTER(ctypes.c_int64)]
-    lib.eat_free.argtypes = [ctypes.c_void_p]
-    lib.eat_mp3_decode.restype = ctypes.c_int
-    lib.eat_mp3_decode.argtypes = [
-        ctypes.c_char_p, ctypes.c_int64,
-        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int)]
-    lib.eat_pool_create.restype = ctypes.c_void_p
-    lib.eat_pool_create.argtypes = [ctypes.c_int]
-    lib.eat_pool_submit.argtypes = [
-        ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
-        ctypes.c_int64]
-    lib.eat_pool_next.restype = ctypes.c_int64
-    lib.eat_pool_next.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
-        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64)]
-    lib.eat_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib = _bind(ctypes.CDLL(_SO_PATH))
+    if lib is None and build():
+        # stale library from an older source tree: rebuilt — reload
+        lib = _bind(ctypes.CDLL(_SO_PATH))
     _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
+    """Declare signatures; None when the .so predates the current API
+    (missing symbols) so callers degrade instead of raising."""
+    try:
+        lib.eat_read_wav.restype = ctypes.c_int
+        lib.eat_read_wav.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int)]
+        lib.eat_resample.restype = ctypes.c_int
+        lib.eat_resample.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.eat_free.argtypes = [ctypes.c_void_p]
+        lib.eat_mp3_decode.restype = ctypes.c_int
+        lib.eat_mp3_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.eat_pool_create.restype = ctypes.c_void_p
+        lib.eat_pool_create.argtypes = [ctypes.c_int]
+        lib.eat_pool_submit.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_int64]
+        lib.eat_pool_next.restype = ctypes.c_int64
+        lib.eat_pool_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64)]
+        lib.eat_pool_destroy.argtypes = [ctypes.c_void_p]
+    except AttributeError:
+        return None
     return lib
 
 

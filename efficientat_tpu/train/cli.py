@@ -305,7 +305,7 @@ def run_train(task_name: str, argv):
 def run_evaluate(task_name: str, argv):
     argv = list(argv) + ["--eval_only"]
     # the reference's evaluate() runs the true eval split (ex_fsd50k.py:216-219)
-    if "--split" not in argv:
+    if not any(a == "--split" or a.startswith("--split=") for a in argv):
         argv += ["--split", "eval"]
     metrics = run_train(task_name, argv)
     if "mAP" in metrics:

@@ -457,15 +457,20 @@ double pow43(int32_t v) {
     return v < 0 ? -m : m;
 }
 
+// Mixed blocks: the long region spans 8 long sfbs in MPEG-1 but only 6 in
+// LSF streams (the LSF scalefactor partitions provide 6 long values).
+int mixed_long_sfbs(bool lsf) { return lsf ? 6 : 8; }
+
 void requantize(const int32_t* xs, const Granule& g, const ScaleFacs& sf,
                 const int16_t* sfb_long, const int16_t* sfb_short,
-                double* xr) {
+                bool lsf, double* xr) {
     double sf_mult = g.scalefac_scale ? 1.0 : 0.5;
     int gg = g.global_gain - 210;
     if (g.block_type == 2) {
-        int n_long = g.mixed ? sfb_long[8] : 0;
+        int long_sfbs = g.mixed ? mixed_long_sfbs(lsf) : 0;
+        int n_long = g.mixed ? sfb_long[long_sfbs] : 0;
         int first_short = g.mixed ? 3 : 0;
-        for (int sfb = 0; sfb < (g.mixed ? 8 : 0); sfb++) {
+        for (int sfb = 0; sfb < long_sfbs; sfb++) {
             double e = gg / 4.0 -
                 sf_mult * (sf.l[sfb] + g.preflag * k_pretab[sfb]);
             double m = std::pow(2.0, e);
@@ -502,7 +507,8 @@ void requantize(const int32_t* xs, const Granule& g, const ScaleFacs& sf,
 // PRE-reorder spectrum: short band sfb, window w is [3*lo+w*n, 3*lo+(w+1)*n).
 void intensity_positions(const double* xr_r, const Granule& g,
                          const ScaleFacs& sf, const int16_t* sfb_long,
-                         const int16_t* sfb_short, int* pos, int* sl) {
+                         const int16_t* sfb_short, bool lsf, int* pos,
+                         int* sl) {
     for (int i = 0; i < 576; i++) { pos[i] = -1; sl[i] = 0; }
     auto any_nonzero = [&](int base, int n) {
         for (int i = 0; i < n; i++)
@@ -511,18 +517,26 @@ void intensity_positions(const double* xr_r, const Granule& g,
     };
     if (g.block_type == 2) {
         int start_sfb = g.mixed ? 3 : 0;
+        int base_off = g.mixed ? sfb_long[mixed_long_sfbs(lsf)] : 0;
+        auto short_base = [&](int sfb, int w) {
+            int lo = sfb_short[sfb], n = sfb_short[sfb + 1] - lo;
+            return g.mixed
+                ? base_off + 3 * (lo - sfb_short[start_sfb]) + w * n
+                : 3 * lo + w * n;
+        };
         for (int w = 0; w < 3; w++) {
             int sfbcnt = start_sfb - 1;
             for (int sfb = 12; sfb >= start_sfb; sfb--) {
-                int lo = sfb_short[sfb], n = sfb_short[sfb + 1] - lo;
-                if (any_nonzero(3 * lo + w * n, n)) { sfbcnt = sfb; break; }
+                int n = sfb_short[sfb + 1] - sfb_short[sfb];
+                if (any_nonzero(short_base(sfb, w), n)) { sfbcnt = sfb; break; }
             }
             for (int sfb = sfbcnt + 1; sfb < 13; sfb++) {
-                int lo = sfb_short[sfb], n = sfb_short[sfb + 1] - lo;
+                int n = sfb_short[sfb + 1] - sfb_short[sfb];
                 int q = sfb < 12 ? sfb : 11;
-                for (int i = 0; i < n; i++) {
-                    pos[3 * lo + w * n + i] = sf.s[q][w];
-                    sl[3 * lo + w * n + i] = sf.s_slen[q][w];
+                int base = short_base(sfb, w);
+                for (int i = 0; i < n && base + i < 576; i++) {
+                    pos[base + i] = sf.s[q][w];
+                    sl[base + i] = sf.s_slen[q][w];
                 }
             }
         }
@@ -561,7 +575,7 @@ void stereo_process(double* xl, double* xrr, const Granule& g_r,
         return;
     }
     int pos[576], sl[576];
-    intensity_positions(xrr, g_r, sf_r, sfb_long, sfb_short, pos, sl);
+    intensity_positions(xrr, g_r, sf_r, sfb_long, sfb_short, lsf, pos, sl);
     const double pi = 3.14159265358979323846;
     // LSF: invalid when all slen bits set; io from sc's LSB (13818-3)
     const double io = std::pow(2.0,
@@ -596,12 +610,12 @@ void stereo_process(double* xl, double* xrr, const Granule& g_r,
 }
 
 void reorder_short(double* xr, const Granule& g, const int16_t* sfb_short,
-                   const int16_t* sfb_long) {
+                   const int16_t* sfb_long, bool lsf) {
     if (g.block_type != 2) return;
     double tmp[576];
     std::memcpy(tmp, xr, sizeof(tmp));
     int start_sfb = g.mixed ? 3 : 0;
-    int src = g.mixed ? sfb_long[8] : 0;
+    int src = g.mixed ? sfb_long[mixed_long_sfbs(lsf)] : 0;
     for (int sfb = start_sfb; sfb < 13; sfb++) {
         int lo = sfb_short[sfb], n = sfb_short[sfb + 1] - lo;
         if (src + 3 * n > 576) break;
@@ -770,14 +784,14 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
                     continue;
                 }
                 std::memset(xr[ch], 0, sizeof(xr[ch]));
-                requantize(xs, g, sf, sfb_long, sfb_short, xr[ch]);
+                requantize(xs, g, sf, sfb_long, sfb_short, f2.lsf, xr[ch]);
             }
             if (nch == 2 && f2.mode == 1 && gr_ok)
                 stereo_process(xr[0], xr[1], si.gr[gr][1], sf_ch[1],
                                f2.mode_ext, sfb_long, sfb_short, f2.lsf);
             for (int ch = 0; ch < nch; ch++) {
                 const Granule& g = si.gr[gr][ch];
-                reorder_short(xr[ch], g, sfb_short, sfb_long);
+                reorder_short(xr[ch], g, sfb_short, sfb_long, f2.lsf);
                 alias_reduce(xr[ch], g);
                 float buf[576];
                 state[ch].granule_to_pcm(xr[ch], g, buf);
@@ -787,6 +801,7 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
     }
 
     int64_t n = pcm[0].size();
+    if (n == 0) return 3;  // sync found but nothing decodable: corrupt blob
     float* o = (float*)std::malloc(sizeof(float) * (size_t)(n * nch) + 1);
     if (!o) return 2;
     for (int ch = 0; ch < nch; ch++)

@@ -49,7 +49,27 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-    from efficientat_tpu.models.dymn import _dynamic_depthwise
+    # The round-1 shift-and-add lowering, inlined verbatim so this script
+    # keeps measuring it after models/dymn.py switched to the grouped-conv
+    # fold (the numbers cited there come from THIS comparison).
+    def _dynamic_depthwise(x, w, ks, stride, dilation):
+        b, f, t, c = x.shape
+        p = (ks - 1) // 2 * dilation
+        fo = (f + 2 * p - dilation * (ks - 1) - 1) // stride + 1
+        to = (t + 2 * p - dilation * (ks - 1) - 1) // stride + 1
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+        out = jnp.zeros((b, fo, to, c), dtype=x.dtype)
+        for di in range(ks):
+            for dj in range(ks):
+                patch = lax.slice(
+                    xp,
+                    (0, di * dilation, dj * dilation, 0),
+                    (b, di * dilation + (fo - 1) * stride + 1,
+                     dj * dilation + (to - 1) * stride + 1, c),
+                    (1, stride, stride, 1),
+                )
+                out = out + patch * w[:, di, dj, :][:, None, None, :]
+        return out
 
     B = 64
     # (tag, F, T, Ci, Co, ks, stride) — block1-ish, block3-ish, block11-ish

@@ -44,12 +44,14 @@ EXPECTED_EVAL = {
 
 
 def check_demo(tagger, args, report):
-    tags = tagger.tag(args.audio_path, top_k=10)
-    # fp32 logits checksum over the whole class vector on the demo clip
+    # one decode + one forward: top-10 and the checksum come from the same
+    # probability vector
     from efficientat_tpu.data.audio_io import load_waveform
 
     wave = load_waveform(args.audio_path, target_sr=tagger.mel_cfg.sr)
     probs = tagger.predict(wave[None, :])[0].astype(np.float32)
+    order = np.argsort(probs)[::-1][:10]
+    tags = [(tagger.labels[i], float(probs[i])) for i in order]
     report["top10"] = [[l, round(float(p), 4)] for l, p in tags]
     report["probs_sum"] = float(probs.sum())
     report["probs_crc32"] = zlib.crc32(probs.tobytes())

@@ -9,10 +9,8 @@ scripts/gen_mp3_tables.py). Serves two purposes:
 2. an independent-in-implementation cross-check in tests (the third-party
    oracle is libmpg123 via tests/codec_oracles.py).
 
-Supports: MPEG-1 and MPEG-2/2.5 (LSF) Layer III, mono/stereo/joint (MS +
-MPEG-1 intensity) stereo, long/short/mixed blocks, bit reservoir. LSF
-intensity stereo is not implemented (no known encoder emits it); such
-frames decode with intensity treated as plain stereo.
+Supports: MPEG-1 and MPEG-2/2.5 (LSF) Layer III, mono/stereo/joint stereo
+(MS + both intensity variants), long/short/mixed blocks, bit reservoir.
 """
 
 from __future__ import annotations
@@ -318,15 +316,21 @@ def _huffman_spectrum(b: Bits, g, sfb_long, sfb_short, part2_start):
     return xs
 
 
+def _mixed_long_sfbs(lsf: bool) -> int:
+    """Long sfbs in a mixed block: 8 (MPEG-1) / 6 (LSF, 13818-3)."""
+    return 6 if lsf else 8
+
+
 def _requantize(xs, g, long_sf, short_sf, sfb_long, sfb_short, lsf):
     out = np.sign(xs) * np.abs(xs) ** (4.0 / 3.0)
     sf_mult = 1.0 if g["scalefac_scale"] else 0.5
     gg = g["global_gain"] - 210
     if g["block_type"] == 2:
-        n_long = sfb_long[8] if g["mixed"] else 0
+        long_sfbs = _mixed_long_sfbs(lsf) if g["mixed"] else 0
+        n_long = sfb_long[long_sfbs] if g["mixed"] else 0
         first_short_sfb = 3 if g["mixed"] else 0
         # long part (mixed)
-        for sfb in range(8 if g["mixed"] else 0):
+        for sfb in range(long_sfbs):
             lo, hi = sfb_long[sfb], sfb_long[sfb + 1]
             e = gg / 4.0 - sf_mult * (long_sf[sfb]
                                       + g["preflag"] * PRETAB[sfb])
@@ -349,7 +353,7 @@ def _requantize(xs, g, long_sf, short_sf, sfb_long, sfb_short, lsf):
 
 
 def _intensity_positions(xr_r, g, long_sf, short_sf, long_sl, short_sl,
-                         sfb_long, sfb_short):
+                         sfb_long, sfb_short, lsf):
     """Per-line intensity position + its slen; pos -1 = not in the region.
 
     Intensity applies to scalefactor bands above the right channel's zero
@@ -362,17 +366,25 @@ def _intensity_positions(xr_r, g, long_sf, short_sf, long_sl, short_sl,
     sl = np.zeros(576, np.int32)
     if g["block_type"] == 2:
         start_sfb = 3 if g["mixed"] else 0
+        base_off = sfb_long[_mixed_long_sfbs(lsf)] if g["mixed"] else 0
+
+        def short_base(sfb, w):
+            lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
+            if g["mixed"]:
+                return base_off + 3 * (lo - sfb_short[start_sfb]) + w * n
+            return 3 * lo + w * n
+
         for w in range(3):
             sfbcnt = start_sfb - 1
             for sfb in range(12, start_sfb - 1, -1):
-                lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
-                base = 3 * lo + w * n
+                n = sfb_short[sfb + 1] - sfb_short[sfb]
+                base = short_base(sfb, w)
                 if np.any(xr_r[base:base + n] != 0):
                     sfbcnt = sfb
                     break
             for sfb in range(sfbcnt + 1, 13):
-                lo, n = sfb_short[sfb], sfb_short[sfb + 1] - sfb_short[sfb]
-                base = 3 * lo + w * n
+                n = sfb_short[sfb + 1] - sfb_short[sfb]
+                base = short_base(sfb, w)
                 pos[base:base + n] = short_sf[min(sfb, 11)][w]
                 sl[base:base + n] = short_sl[min(sfb, 11)][w]
     else:
@@ -399,7 +411,8 @@ def _stereo_process(xr_l, xr_r, g_r, sf_r, mode_ext, sfb_long, sfb_short,
         return xr_l, xr_r
     long_sf, short_sf, long_sl, short_sl = sf_r
     pos, sl = _intensity_positions(xr_r, g_r, long_sf, short_sf,
-                                   long_sl, short_sl, sfb_long, sfb_short)
+                                   long_sl, short_sl, sfb_long, sfb_short,
+                                   lsf)
     in_region = pos >= 0
     if lsf:
         # 13818-3: positions are invalid when all slen bits are set; legal
@@ -428,12 +441,12 @@ def _stereo_process(xr_l, xr_r, g_r, sf_r, mode_ext, sfb_long, sfb_short,
     return l_out, r_out
 
 
-def _reorder_short(xr, g, sfb_short, sfb_long):
+def _reorder_short(xr, g, sfb_short, sfb_long, lsf):
     if g["block_type"] != 2:
         return xr
     out = xr.copy()
     start_sfb = 3 if g["mixed"] else 0
-    base = sfb_long[8] if g["mixed"] else 0
+    base = sfb_long[_mixed_long_sfbs(lsf)] if g["mixed"] else 0
     src = base
     for sfb in range(start_sfb, 13):
         lo, hi = sfb_short[sfb], sfb_short[sfb + 1]
@@ -623,7 +636,7 @@ def decode(data: bytes):
                 xr_ch = [left, right]
 
             for ch, g in enumerate(chs):
-                xr = _reorder_short(xr_ch[ch], g, sfb_short, sfb_long)
+                xr = _reorder_short(xr_ch[ch], g, sfb_short, sfb_long, lsf)
                 xr = _alias_reduce(xr, g)
                 tsub = _imdct_granule(xr, g, overlap[ch])  # (32, 18)
                 for t in range(18):

@@ -268,3 +268,24 @@ def test_native_prefetch_pool_decodes_mp3_and_wav(tmp_path):
         assert got[jid].shape == (sr,)
         spec = np.abs(np.fft.rfft(got[jid]))
         assert abs(int(np.argmax(spec)) - 440) <= 1
+
+
+def test_mixed_block_frames_match_mpg123():
+    """Mixed blocks (wsf=1, bt=2, mixed=1): no encoder emits them, so the
+    frames are hand-crafted bit-by-bit (tests/craft_mp3.py) with nonzero
+    spectrum spanning the long AND short regions. Pins the long-region band
+    count difference: 8 long sfbs in MPEG-1 vs 6 in LSF (13818-3)."""
+    import craft_mp3
+
+    for name, blob in [("mpeg1", craft_mp3.craft_mixed_mpeg1()),
+                       ("lsf", craft_mp3.craft_mixed_lsf())]:
+        ref, _ = codec_oracles.decode_mp3_mpg123(blob)
+        mine, _ = native.decode_mp3(blob)
+        npy, _ = mp3_ref.decode(blob)
+        n = min(ref.shape[1], mine.shape[1], npy.shape[1])
+        assert n > 2000, name
+        assert ref[0][:n].std() > 1e-5, name  # nonsilent
+        np.testing.assert_allclose(mine[0][:n], ref[0][:n], atol=1e-6,
+                                   err_msg=name)
+        np.testing.assert_allclose(npy[0][:n], ref[0][:n], atol=1e-6,
+                                   err_msg=name)
