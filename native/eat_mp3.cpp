@@ -180,7 +180,9 @@ struct Bits {
 
 struct FrameInfo {
     bool lsf, mpeg25, crc;
-    int sr, sr_idx, frame_len, mode, mode_ext;
+    int sr, sr_idx, frame_len, mode, mode_ext, padding;
+    // frame_len == 0: free-format stream (bitrate index 0) — the caller
+    // derives the constant frame size from the next sync position
 };
 
 const int kBitratesV1[] = {0, 32, 40, 48, 56, 64, 80, 96, 112,
@@ -195,17 +197,17 @@ bool find_frame(const uint8_t* d, int64_t n, int64_t& pos, FrameInfo& fi) {
             int h1 = d[pos + 1], h2 = d[pos + 2], h3 = d[pos + 3];
             int version = (h1 >> 3) & 3, layer = (h1 >> 1) & 3;
             int br_idx = (h2 >> 4) & 15, sr_idx = (h2 >> 2) & 3;
-            if (version != 1 && layer == 1 && br_idx > 0 && br_idx < 15 &&
-                sr_idx < 3) {
+            if (version != 1 && layer == 1 && br_idx < 15 && sr_idx < 3) {
                 fi.lsf = version != 3;
                 fi.mpeg25 = version == 0;
                 fi.sr = kSrV1[sr_idx];
                 if (version == 2) fi.sr /= 2;
                 if (version == 0) fi.sr /= 4;
                 fi.sr_idx = sr_idx;
+                fi.padding = (h2 >> 1) & 1;
                 int bitrate = (fi.lsf ? kBitratesV2 : kBitratesV1)[br_idx] * 1000;
-                fi.frame_len = (fi.lsf ? 72 : 144) * bitrate / fi.sr +
-                               ((h2 >> 1) & 1);
+                fi.frame_len = br_idx == 0 ? 0
+                    : (fi.lsf ? 72 : 144) * bitrate / fi.sr + fi.padding;
                 fi.mode = (h3 >> 6) & 3;
                 fi.mode_ext = (h3 >> 4) & 3;
                 fi.crc = !(h1 & 1);
@@ -727,11 +729,30 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
     std::vector<uint8_t> reservoir;
     reservoir.reserve(4096);
 
+    int free_base = 0;  // free-format frame size (excl. padding), lazy
     while (true) {
         FrameInfo f2;
         int64_t fpos = pos;
         if (!find_frame(data, n_bytes, fpos, f2)) break;
         if (f2.sr != sr || (f2.mode == 3 ? 1 : 2) != nch) break;
+        if (f2.frame_len == 0) {  // free format: measure to the next sync
+            if (free_base == 0) {
+                // skip false syncs inside the frame: the next header must be
+                // a matching free-format header of the same stream
+                int64_t p2 = fpos + 4;
+                while (true) {
+                    FrameInfo fn;
+                    if (!find_frame(data, n_bytes, p2, fn)) { p2 = -1; break; }
+                    if (fn.frame_len == 0 && fn.sr == f2.sr &&
+                        fn.mode == f2.mode && fn.lsf == f2.lsf)
+                        break;
+                    p2++;
+                }
+                if (p2 < 0) break;
+                free_base = (int)(p2 - fpos) - f2.padding;
+            }
+            f2.frame_len = free_base + f2.padding;
+        }
         if (fpos + f2.frame_len > n_bytes) break;
         const uint8_t* frame = data + fpos;
         pos = fpos + f2.frame_len;
@@ -739,6 +760,24 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
         int off = 4 + (f2.crc ? 2 : 0);
         int side_len = f2.lsf ? (nch == 1 ? 9 : 17) : (nch == 1 ? 17 : 32);
         if (off + side_len > f2.frame_len) continue;
+        if (f2.crc) {
+            // ISO CRC-16 (poly 0x8005, init 0xFFFF) over header bytes 2-3 +
+            // side info; drop frames whose side info fails the check
+            uint16_t crc = 0xFFFF;
+            auto feed = [&](uint8_t byte) {
+                for (int bit = 7; bit >= 0; bit--) {
+                    int in = (byte >> bit) & 1;
+                    int hi = (crc >> 15) & 1;
+                    crc <<= 1;
+                    if (hi ^ in) crc ^= 0x8005;
+                }
+            };
+            feed(frame[2]);
+            feed(frame[3]);
+            for (int i = 0; i < side_len; i++) feed(frame[6 + i]);
+            uint16_t want = ((uint16_t)frame[4] << 8) | frame[5];
+            if (crc != want) continue;
+        }
         Bits sb(frame + off, side_len);
         SideInfo si;
         read_side_info(sb, nch, f2.lsf, si);

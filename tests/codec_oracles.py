@@ -36,7 +36,8 @@ def have_mpg123() -> bool:
 
 def encode_mp3_lame(pcm: np.ndarray, sr: int, bitrate: int = 128,
                     mode: str = "mono", vbr: bool = False,
-                    quality: int = 5) -> bytes:
+                    quality: int = 5, crc: bool = False,
+                    free_format: bool = False) -> bytes:
     """pcm: float32 (n,) mono or (2, n) stereo in [-1, 1] -> mp3 bytes.
 
     The Xing/LAME info tag is disabled so the stream is plain CBR/VBR frames
@@ -53,6 +54,10 @@ def encode_mp3_lame(pcm: np.ndarray, sr: int, bitrate: int = 128,
     lib.lame_set_mode(gf, modes[mode if ch == 2 else "mono"])
     lib.lame_set_quality(gf, quality)
     lib.lame_set_bWriteVbrTag(gf, 0)
+    if crc:
+        lib.lame_set_error_protection(gf, 1)
+    if free_format:
+        lib.lame_set_free_format(gf, 1)
     if vbr:
         lib.lame_set_VBR(gf, 4)  # vbr_default
         lib.lame_set_VBR_q(gf, 4)

@@ -99,7 +99,7 @@ def _find_frame(data: bytes, pos: int):
             layer = (h1 >> 1) & 3       # 1 = Layer III
             br_idx = (h2 >> 4) & 15
             sr_idx = (h2 >> 2) & 3
-            if version != 1 and layer == 1 and 0 < br_idx < 15 and sr_idx < 3:
+            if version != 1 and layer == 1 and br_idx < 15 and sr_idx < 3:
                 lsf = version != 3
                 sr = SR_V1[sr_idx]
                 if version == 2:
@@ -108,15 +108,30 @@ def _find_frame(data: bytes, pos: int):
                     sr //= 4
                 bitrate = (BITRATES_V2 if lsf else BITRATES_V1)[br_idx] * 1000
                 padding = (h2 >> 1) & 1
-                frame_len = (72 if lsf else 144) * bitrate // sr + padding
+                # free format (br_idx 0): length measured from the next sync
+                frame_len = (0 if br_idx == 0 else
+                             (72 if lsf else 144) * bitrate // sr + padding)
                 mode = (h3 >> 6) & 3     # 0 st, 1 js, 2 dual, 3 mono
                 mode_ext = (h3 >> 4) & 3
                 crc = not (h1 & 1)
                 return pos, dict(lsf=lsf, mpeg25=version == 0, sr=sr,
                                  frame_len=frame_len, mode=mode,
-                                 mode_ext=mode_ext, crc=crc, sr_idx=sr_idx)
+                                 mode_ext=mode_ext, crc=crc, sr_idx=sr_idx,
+                                 padding=padding)
         pos += 1
     return None
+
+
+def _crc16(data: bytes) -> int:
+    """ISO CRC-16 (poly 0x8005, init 0xFFFF) over header+side-info bytes."""
+    crc = 0xFFFF
+    for byte in data:
+        for bit in range(7, -1, -1):
+            hi = (crc >> 15) & 1
+            crc = (crc << 1) & 0xFFFF
+            if hi ^ ((byte >> bit) & 1):
+                crc ^= 0x8005
+    return crc
 
 
 def _read_side_info(b: Bits, nch: int, lsf: bool):
@@ -578,6 +593,7 @@ def decode(data: bytes):
     pcm = [[] for _ in range(nch)]
 
     pos = first[0]
+    free_base = 0
     while True:
         f = _find_frame(data, pos)
         if f is None:
@@ -585,6 +601,24 @@ def decode(data: bytes):
         fpos, info = f
         if info["sr"] != sr or (1 if info["mode"] == 3 else 2) != nch:
             break
+        if info["frame_len"] == 0:  # free format: measure to the next sync
+            if not free_base:
+                # skip false syncs: next header must be a matching
+                # free-format header of the same stream
+                p2 = fpos + 4
+                while True:
+                    nxt = _find_frame(data, p2)
+                    if nxt is None:
+                        break
+                    if (nxt[1]["frame_len"] == 0 and nxt[1]["sr"] == sr
+                            and nxt[1]["mode"] == info["mode"]
+                            and nxt[1]["lsf"] == info["lsf"]):
+                        break
+                    p2 = nxt[0] + 1
+                if nxt is None:
+                    break
+                free_base = nxt[0] - fpos - info["padding"]
+            info["frame_len"] = free_base + info["padding"]
         frame = data[fpos:fpos + info["frame_len"]]
         if len(frame) < info["frame_len"]:
             break
@@ -592,6 +626,9 @@ def decode(data: bytes):
         off = 4 + (2 if info["crc"] else 0)
         lsf = info["lsf"]
         side_len = (9 if nch == 1 else 17) if lsf else (17 if nch == 1 else 32)
+        if info["crc"] and _crc16(frame[2:4] + frame[6:6 + side_len]) != \
+                int.from_bytes(frame[4:6], "big"):
+            continue  # corrupt side info: drop the frame
         sb = Bits(frame[off:off + side_len])
         si = _read_side_info(sb, nch, lsf)
         main = frame[off + side_len:]

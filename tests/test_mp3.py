@@ -289,3 +289,38 @@ def test_mixed_block_frames_match_mpg123():
                                    err_msg=name)
         np.testing.assert_allclose(npy[0][:n], ref[0][:n], atol=1e-6,
                                    err_msg=name)
+
+
+@pytest.mark.parametrize("kw", [dict(crc=True), dict(free_format=True),
+                                dict(crc=True, free_format=True)],
+                         ids=["crc", "free-format", "crc+free"])
+def test_crc_and_free_format_match_mpg123(kw):
+    """CRC-protected frames (2-byte ISO CRC-16 after the header, verified
+    and dropped on mismatch) and free-format streams (bitrate index 0,
+    frame size measured between matching syncs)."""
+    sr = 32000
+    blob = codec_oracles.encode_mp3_lame(_tone_noise(sr), sr, bitrate=100,
+                                         mode="mono", **kw)
+    ref, _ = codec_oracles.decode_mp3_mpg123(blob)
+    mine, _ = native.decode_mp3(blob)
+    npy, _ = mp3_ref.decode(blob)
+    n = min(ref.shape[1], mine.shape[1], npy.shape[1])
+    assert n > sr // 2
+    np.testing.assert_allclose(mine[0][:n], ref[0][:n], atol=2e-5)
+    np.testing.assert_allclose(npy[0][:n], ref[0][:n], atol=2e-5)
+
+
+def test_corrupted_crc_frame_is_dropped():
+    sr = 32000
+    blob = codec_oracles.encode_mp3_lame(_tone_noise(sr), sr, bitrate=128,
+                                         mode="mono", crc=True)
+    bad = bytearray(blob)
+    pos, count = 0, 0
+    while count < 3:  # find the 3rd frame sync
+        pos = bad.index(0xFF, pos + 1)
+        if (bad[pos + 1] & 0xE0) == 0xE0:
+            count += 1
+    bad[pos + 10] ^= 0xFF  # corrupt its side info
+    good_n = native.decode_mp3(blob)[0].shape[1]
+    bad_n = native.decode_mp3(bytes(bad))[0].shape[1]
+    assert bad_n == good_n - 1152  # exactly one frame dropped
