@@ -31,12 +31,18 @@ def build(quiet: bool = True) -> bool:
         return False
 
 
+_load_attempted = False
+
+
 def load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _load_attempted
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH):
+    if _load_attempted:
         return None
+    _load_attempted = True
+    if not os.path.exists(_SO_PATH) and not build():
+        return None  # no toolchain: callers fall back to pure-Python paths
     lib = _bind(ctypes.CDLL(_SO_PATH))
     if lib is None and build():
         # stale library from an older source tree: rebuilt — reload
