@@ -51,7 +51,14 @@ def _setup_jax_cache():
 
 
 def _infer_cps(model_apply, variables, batch=BATCH, iters=ITERS):
-    """Full-pipeline inference clips/s for a (variables, waves)->scalar fn."""
+    """Full-pipeline inference clips/s for a (variables, waves)->scalar fn.
+
+    The iteration loop runs ON DEVICE (lax.fori_loop inside one jit): a
+    single dispatch + one scalar fetch per timing run, so the measurement
+    reflects device throughput, not host dispatch latency (which on this
+    remote-TPU tunnel — or any loaded host — would otherwise dominate).
+    The per-iteration eps perturbation keeps every iteration's input
+    distinct so nothing in the stack can dedup work."""
     import jax
     import jax.numpy as jnp
 
@@ -59,16 +66,15 @@ def _infer_cps(model_apply, variables, batch=BATCH, iters=ITERS):
     waves = jnp.asarray(
         rng.normal(size=(batch, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
 
-    forward = jax.jit(model_apply)
-    float(forward(variables, waves, jnp.float32(0.0)))  # compile + run
+    @jax.jit
+    def run(variables, waves, n):
+        def body(i, acc):
+            return acc + model_apply(variables, waves, i.astype(jnp.float32) * 1e-7)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
+    float(run(variables, waves, 2))  # compile + warm up
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        # vary input each iter so no layer of the stack can dedup work;
-        # accumulate on device, fetch once (remote pipeline flush)
-        acc = acc + forward(variables, waves, jnp.float32(i) * 1e-7)
-    total = float(acc)
+    total = float(run(variables, waves, iters))
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
     return batch * iters / dt
@@ -126,8 +132,7 @@ def measure_kd_train(batch=TRAIN_BATCH, iters=TRAIN_ITERS) -> float:
     from efficientat_tpu.models import MN, MNConfig
     from efficientat_tpu.ops.melspec import MelConfig
     from efficientat_tpu.train.loop import (
-        LossConfig, create_train_state, jit_steps, make_eval_step,
-        make_optimizer, make_train_step,
+        LossConfig, create_train_state, make_optimizer, make_train_step,
     )
     from efficientat_tpu.train.schedules import (
         exp_warmup_linear_down, per_epoch_schedule,
@@ -141,8 +146,6 @@ def measure_kd_train(batch=TRAIN_BATCH, iters=TRAIN_ITERS) -> float:
                                make_optimizer(sched))
     train_step = make_train_step(
         model, mel_cfg, LossConfig(kind="bce", mixup_alpha=0.3, kd_lambda=0.1))
-    eval_step = make_eval_step(model, mel_cfg)
-    jt, _ = jit_steps(train_step, eval_step)
 
     rng = np.random.default_rng(0)
     batch_data = {
@@ -156,16 +159,22 @@ def measure_kd_train(batch=TRAIN_BATCH, iters=TRAIN_ITERS) -> float:
     # (and this env's remote-TPU tunnel would otherwise dominate timing)
     batch_data = jax.device_put(batch_data)
     key = jax.random.PRNGKey(1)
-    state, metrics = jt(state, batch_data, key, jnp.float32(1.0))
-    float(metrics["train_loss"])  # compile + run, flush
 
+    # loop the steps ON DEVICE: one dispatch, one scalar fetch (see _infer_cps)
+    @jax.jit
+    def run(state, batch_data, key, n):
+        def body(i, carry):
+            st, _ = carry
+            st, metrics = train_step(st, batch_data, jax.random.fold_in(key, i),
+                                      jnp.float32(1.0))
+            return st, metrics["train_loss"]
+        return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+
+    _, loss = run(state, batch_data, key, 2)  # compile + warm up
+    float(loss)
     t0 = time.perf_counter()
-    last = None
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        state, metrics = jt(state, batch_data, sub, jnp.float32(1.0))
-        last = metrics["train_loss"]
-    total = float(last)  # single host fetch flushes the chain
+    _, loss = run(state, batch_data, key, iters)
+    total = float(loss)
     dt = time.perf_counter() - t0
     assert np.isfinite(total)
     return batch * iters / dt

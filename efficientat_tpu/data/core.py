@@ -182,19 +182,61 @@ class SequentialSampler:
         return idx
 
 
+def _reflect_index(j: int, m: int) -> int:
+    """Index into a length-m signal under numpy 'reflect' extension."""
+    if m == 1:
+        return 0
+    period = 2 * (m - 1)
+    j = j % period
+    return j if j < m else period - j
+
+
+def exact_eval_pad(wave: np.ndarray, target_len: int,
+                   preemph: float = 0.97) -> np.ndarray:
+    """Pad ``wave`` to ``target_len`` so the padded clip's log-mel frames
+    [0, num_frames(len(wave))) are IDENTICAL to the unpadded clip's.
+
+    The mel front-end pre-emphasizes (y[i] = w[i+1] - c*w[i], length L-1)
+    and then reflect-pads y by n_fft//2 for centered framing
+    (ops/melspec.py). A zero pad changes y near the boundary, perturbing the
+    last ~n_fft/hop frames. Instead the first 513 pad samples solve the
+    recurrence  w[L+k] = y[reflect(L-1+k)] + c*w[L+k-1]  so that the
+    pre-emphasized padded signal continues exactly as the reflect extension
+    of the unpadded y. Frames past the valid count are zeroed on device by
+    the model's time masking, so their content never matters.
+    """
+    w = np.asarray(wave, np.float64)
+    length = w.size
+    out = np.zeros(target_len, np.float64)
+    out[:length] = w
+    m = length - 1  # pre-emphasized length
+    n_ext = min(513, target_len - length)
+    if n_ext > 0 and m >= 2:
+        y = w[1:] - preemph * w[:-1]
+        prev = w[length - 1]
+        for k in range(n_ext):
+            cur = y[_reflect_index(m + k, m)] + preemph * prev
+            out[length + k] = cur
+            prev = cur
+    return out.astype(np.float32)
+
+
 def bucket_pad_collate(bucket_samples: int = 32000):
     """Collate for variable-length waveforms: pad every clip in the batch to
     the batch max rounded up to a multiple of ``bucket_samples`` (limits the
     number of distinct compiled shapes), and emit ``wave_samples`` with the
-    true lengths for masked pooling."""
+    true lengths for masked pooling. Uses ``exact_eval_pad`` so the valid
+    mel frames are bit-identical to an unpadded forward."""
 
     def collate(items):
         items = [dict(it) for it in items]
         lens = np.asarray([len(it["wave"]) for it in items], np.int32)
         target = int(-(-lens.max() // bucket_samples) * bucket_samples)
+        if any(0 < target - n < 513 for n in lens):
+            # leave room for the 513-sample exact pad continuation
+            target += bucket_samples
         for it in items:
-            it["wave"] = np.pad(np.asarray(it["wave"], np.float32),
-                                (0, target - len(it["wave"])))
+            it["wave"] = exact_eval_pad(np.asarray(it["wave"], np.float32), target)
         out = _collate(items)
         out["wave_samples"] = lens
         return out

@@ -42,7 +42,9 @@ from efficientat_tpu.models.layers import (
     FullyConvHead,
     InvertedResidual,
     MlpHead,
+    conv_out_count,
     dense_init,
+    time_mask,
 )
 from efficientat_tpu.models.mn import mn_block_table
 from efficientat_tpu.utils.common import make_divisible
@@ -145,10 +147,19 @@ class ContextGen(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, time_valid=None):
+        """``time_valid`` (B,): valid input time frames. Padded frames are
+        excluded from the time-pooled branch and from the shared context
+        mean, so h_c / g_cf (and the valid positions of g_ct) match an
+        exact-shape forward."""
         f, t = x.shape[1], x.shape[2]
-        cf = jnp.mean(x, axis=2)  # (B, F, C)
-        ct = jnp.mean(x, axis=1)  # (B, T, C)
+        if time_valid is not None:
+            xm = time_mask(x, time_valid)
+            cf = jnp.sum(xm, axis=2) / time_valid.astype(x.dtype)[:, None, None]
+            ct = jnp.mean(xm, axis=1)  # (B, T, C); invalid positions masked below
+        else:
+            cf = jnp.mean(x, axis=2)  # (B, F, C)
+            ct = jnp.mean(x, axis=1)  # (B, T, C)
         g_cat = jnp.concatenate([cf, ct], axis=1)  # (B, F+T, C)
         g_cat = nn.Dense(self.context_dim, use_bias=False, kernel_init=dense_init,
                          dtype=self.dtype, name="joint")(g_cat)
@@ -156,8 +167,18 @@ class ContextGen(nn.Module):
                              epsilon=BN_EPS, dtype=self.dtype, name="joint_bn")(g_cat)
         g_cat = nn.hard_swish(g_cat)
 
-        h_cf, h_ct = g_cat[:, :f], g_cat[:, f:]
-        h_c = jnp.mean(g_cat, axis=1)  # (B, H)
+        if time_valid is not None:
+            b = x.shape[0]
+            seq_valid = jnp.concatenate(
+                [jnp.ones((b, f), bool),
+                 jnp.arange(t)[None, :] < time_valid[:, None]], axis=1)
+            g_cat = g_cat * seq_valid[..., None].astype(g_cat.dtype)
+            h_cf, h_ct = g_cat[:, :f], g_cat[:, f:]
+            h_c = jnp.sum(g_cat, axis=1) / (
+                f + time_valid).astype(g_cat.dtype)[:, None]
+        else:
+            h_cf, h_ct = g_cat[:, :f], g_cat[:, f:]
+            h_c = jnp.mean(g_cat, axis=1)  # (B, H)
 
         if self.stride > 1:
             h_cf = _seq_avg_pool(h_cf, self.stride)
@@ -242,7 +263,7 @@ class DYBlock(nn.Module):
         ))
 
     @nn.compact
-    def __call__(self, x, train: bool = False, temperature=1.0):
+    def __call__(self, x, train: bool = False, temperature=1.0, time_valid=None):
         cnf = self.cnf
         act = ACTIVATIONS[cnf.activation]
         stride = 1 if cnf.dilation > 1 else cnf.stride
@@ -250,7 +271,7 @@ class DYBlock(nn.Module):
 
         h_c, g_cf, g_ct = ContextGen(self.context_dim, cnf.expanded_channels,
                                      stride=stride, dtype=self.dtype,
-                                     name="context")(x, train)
+                                     name="context")(x, train, time_valid)
 
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
                                        momentum=BN_MOMENTUM, epsilon=BN_EPS,
@@ -268,6 +289,10 @@ class DYBlock(nn.Module):
             x = act(x)
 
         # depthwise
+        tv_out = None
+        if time_valid is not None:
+            x = time_mask(x, time_valid)  # zeros == exact-shape conv padding
+            tv_out = conv_out_count(time_valid, cnf.kernel, stride, cnf.dilation)
         pad = (cnf.kernel - 1) // 2 * cnf.dilation
         if self.no_dyconv:
             x = nn.Conv(cnf.expanded_channels, (cnf.kernel, cnf.kernel),
@@ -368,12 +393,18 @@ class DyMN(nn.Module):
     def __call__(self, x, train: bool = False, temperature=1.0, time_valid=None):
         """x: (B, F, T, C_in) -> (logits, embedding). ``temperature`` may be a
         python float or traced scalar; pass the per-epoch value from
-        ``cfg.temperature(epoch)`` during training. ``time_valid``: valid
-        output frame counts for masked variable-length pooling."""
+        ``cfg.temperature(epoch)`` during training. ``time_valid`` (B,):
+        valid INPUT mel frames; enables exact bucket-padded variable-length
+        evaluation (padded frames re-zeroed before time-mixing ops and
+        excluded from time-pooled means)."""
         cfg = self.cfg
         table, last_channel = cfg.block_table()
         dy_mask = cfg.dy_mask()
 
+        tv = None
+        if time_valid is not None:
+            x = time_mask(x, time_valid)
+            tv = conv_out_count(time_valid, cfg.in_conv_kernel, cfg.in_conv_stride)
         x = ConvNormAct(table[0].input_channels, cfg.in_conv_kernel,
                         cfg.in_conv_stride, dtype=self.dtype, name="stem")(x, train)
         dy_cls = (nn.remat(DYBlock, static_argnums=(2,)) if cfg.remat
@@ -386,26 +417,29 @@ class DyMN(nn.Module):
                            cfg.max_context_size, cfg.min_context_size,
                            cfg.dyrelu_k, cfg.dyconv_k, cfg.no_dyrelu,
                            cfg.no_dyconv, cfg.no_ca, dtype=self.dtype,
-                           name=f"block{i}")(x, train, temperature)
+                           name=f"block{i}")(x, train, temperature, tv)
             else:
                 # static blocks in DyMN carry no SE (DynamicInvertedResidualConfig
                 # hardwires use_se=False, dy_block.py:30)
                 x = static_cls(cnf, se_dims=None, dtype=self.dtype,
-                               name=f"block{i}")(x, train)
+                               name=f"block{i}")(x, train, tv)
+            if tv is not None:
+                stride = 1 if cnf.dilation > 1 else cnf.stride
+                tv = conv_out_count(tv, cnf.kernel, stride, cnf.dilation)
         x = ConvNormAct(6 * table[-1].out_channels, 1, dtype=self.dtype,
                         name="tail")(x, train)
 
-        if time_valid is not None:
-            embedding = masked_time_mean(x, time_valid)
+        if tv is not None:
+            embedding = masked_time_mean(x, tv)
         else:
             embedding = jnp.mean(x, axis=(1, 2))
 
         if cfg.head_type == "mlp":
             logits = MlpHead(last_channel, cfg.num_classes, cfg.dropout,
-                             dtype=self.dtype, name="head")(x, train, time_valid)
+                             dtype=self.dtype, name="head")(x, train, tv)
         elif cfg.head_type == "fully_convolutional":
             logits = FullyConvHead(cfg.num_classes, dtype=self.dtype,
-                                   name="head")(x, train, time_valid)
+                                   name="head")(x, train, tv)
         else:
             raise NotImplementedError(
                 f"Head '{cfg.head_type}' unknown. Must be one of: 'mlp', "

@@ -89,6 +89,25 @@ class ConvNormAct(nn.Module):
 _SE_AXES = {"c": 3, "f": 1, "t": 2}
 
 
+def time_mask(x: jnp.ndarray, time_valid) -> jnp.ndarray:
+    """Zero NHWC ``x`` beyond ``time_valid[b]`` frames along the T axis.
+
+    Inserted before every op that mixes time positions (depthwise convs,
+    time-pooled means) during variable-length evaluation, so the padded
+    region behaves exactly like the zero padding an exact-shape conv would
+    apply at its boundary."""
+    mask = (jnp.arange(x.shape[2])[None, :] < time_valid[:, None]).astype(x.dtype)
+    return x * mask[:, None, :, None]
+
+
+def conv_out_count(t, kernel: int, stride: int, dilation: int = 1):
+    """Output positions of a torch-padded conv given ``t`` valid inputs.
+
+    Elementwise on Python ints or integer (jnp/np) arrays."""
+    pad = (kernel - 1) // 2 * dilation
+    return (t + 2 * pad - dilation * (kernel - 1) - 1) // stride + 1
+
+
 class SqueezeExcitation(nn.Module):
     """SE over one of {channel, frequency, time}.
 
@@ -104,9 +123,20 @@ class SqueezeExcitation(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, time_valid=None):
         reduce_axes = tuple(a for a in (1, 2, 3) if a != self.se_axis)
-        scale = jnp.mean(x, axis=reduce_axes)  # (B, d)
+        if time_valid is None or self.se_axis == 2:
+            # for the time-gated SE the squeeze does not reduce over time, so
+            # gates at valid positions are exact without masking
+            scale = jnp.mean(x, axis=reduce_axes)  # (B, d)
+        else:
+            # masked mean over time (x must be pre-masked with time_mask)
+            denom = 1
+            for a in reduce_axes:
+                if a != 2:
+                    denom *= x.shape[a]
+            counts = denom * time_valid.astype(x.dtype)  # (B,)
+            scale = jnp.sum(x, axis=reduce_axes) / counts[:, None]
         scale = nn.Dense(self.squeeze_dim, kernel_init=dense_init, dtype=self.dtype, name="fc1")(scale)
         scale = nn.relu(scale)
         scale = nn.Dense(self.input_dim, kernel_init=dense_init, dtype=self.dtype, name="fc2")(scale)
@@ -132,7 +162,7 @@ class ConcurrentSEBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, time_valid=None):
         dims = {"c": self.c_dim, "f": self.f_dim, "t": self.t_dim}
         outs = []
         for letter in self.se_dims:
@@ -140,7 +170,7 @@ class ConcurrentSEBlock(nn.Module):
             squeeze = make_divisible(d // self.se_r, 8)
             outs.append(
                 SqueezeExcitation(d, squeeze, _SE_AXES[letter], dtype=self.dtype,
-                                  name=f"se_{letter}")(x)
+                                  name=f"se_{letter}")(x, time_valid)
             )
         if len(outs) == 1:
             return outs[0]
@@ -198,7 +228,12 @@ class InvertedResidual(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, time_valid=None):
+        """``time_valid`` (B,): valid input time frames; enables exact
+        variable-length evaluation — the padded region is re-zeroed before
+        the depthwise conv and excluded from the SE squeeze, so valid output
+        positions match an exact-shape forward bit-for-bit (up to fp
+        rounding)."""
         cnf = self.cnf
         act = ACTIVATIONS[cnf.activation]
         inp = x
@@ -206,13 +241,19 @@ class InvertedResidual(nn.Module):
             x = ConvNormAct(cnf.expanded_channels, 1, act=act, dtype=self.dtype,
                             name="expand")(x, train)
         stride = 1 if cnf.dilation > 1 else cnf.stride
+        tv_out = None
+        if time_valid is not None:
+            x = time_mask(x, time_valid)
+            tv_out = conv_out_count(time_valid, cnf.kernel, stride, cnf.dilation)
         x = ConvNormAct(cnf.expanded_channels, cnf.kernel, stride, cnf.dilation,
                         groups=cnf.expanded_channels, act=act, dtype=self.dtype,
                         name="depthwise")(x, train)
+        if tv_out is not None:
+            x = time_mask(x, tv_out)
         if cnf.use_se and self.se_dims:
             x = ConcurrentSEBlock(cnf.expanded_channels, self.f_dim, self.t_dim,
                                   self.se_dims, self.se_agg, self.se_r,
-                                  dtype=self.dtype, name="se")(x)
+                                  dtype=self.dtype, name="se")(x, tv_out)
         x = ConvNormAct(cnf.out_channels, 1, act=None, dtype=self.dtype,
                         name="project")(x, train)
         if cnf.use_res:
@@ -226,14 +267,12 @@ def masked_time_mean(x: jnp.ndarray, time_valid) -> jnp.ndarray:
     (the reference instead evaluates exact lengths at batch 1,
     ex_fsd50k.py:73-77).
 
-    Approximation note: pooling is exact, but padded time frames still enter
-    conv receptive fields near the valid/pad boundary, so masked logits are
-    not bit-identical to an exact-shape forward. Measured on realistic-scale
-    weights (tests/test_train_cli.py::test_masked_variable_eval_deviation):
-    max logit deviation is ~12% of the logit std when a 2 s clip is padded
-    to 10 s (worst case) and ~3% at 0.5 s of padding; it shrinks
-    monotonically as padding shrinks. Keep eval batches length-homogeneous
-    (bucketed) to stay at the low end."""
+    Together with the per-stage ``time_mask`` re-zeroing inside the blocks
+    (padded frames then coincide with the zero padding an exact-shape conv
+    applies at its boundary) and the host-side pre-emphasis-aware pad
+    continuation (``data.core.exact_eval_pad``), the batched masked forward
+    equals the exact-shape batch-1 forward to fp32 rounding
+    (tests/test_train_cli.py::test_masked_variable_eval_exact)."""
     t = x.shape[2]
     mask = (jnp.arange(t)[None, :] < time_valid[:, None]).astype(x.dtype)
     x = x * mask[:, None, :, None]

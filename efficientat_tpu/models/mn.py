@@ -25,7 +25,9 @@ from efficientat_tpu.models.layers import (
     InvertedResidual,
     MlpHead,
     MultiHeadAttentionPooling,
+    conv_out_count,
     masked_time_mean,
+    time_mask,
 )
 from efficientat_tpu.utils.common import cnn_out_size, make_divisible
 
@@ -115,14 +117,20 @@ class MN(nn.Module):
     def __call__(self, x, train: bool = False, time_valid=None):
         """x: (B, F, T, C_in) -> (logits (B, classes), embedding (B, C_feat)).
 
-        ``time_valid`` (B,): number of valid OUTPUT time frames per sample
-        (see ``output_time_frames``); enables bucket-padded variable-length
-        evaluation with masked pooling."""
+        ``time_valid`` (B,): number of valid INPUT mel frames per sample;
+        enables bucket-padded variable-length evaluation. Padded frames are
+        re-zeroed before every time-mixing op and excluded from every
+        time-reducing mean, so the masked forward equals an exact-shape
+        forward on the first ``time_valid[b]`` frames (to fp rounding)."""
         cfg = self.cfg
         table, last_channel = cfg.block_table()
         fm_sizes = cfg.feature_map_sizes()
         se_dims = None if cfg.se_dims == "none" else cfg.se_dims
 
+        tv = None
+        if time_valid is not None:
+            x = time_mask(x, time_valid)
+            tv = conv_out_count(time_valid, cfg.in_conv_kernel, cfg.in_conv_stride)
         x = ConvNormAct(table[0].input_channels, cfg.in_conv_kernel,
                         cfg.in_conv_stride, dtype=self.dtype, name="stem")(x, train)
         block_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
@@ -130,26 +138,29 @@ class MN(nn.Module):
         for i, cnf in enumerate(table):
             x = block_cls(cnf, se_dims, cfg.se_agg, cfg.se_r,
                           f_dim=fm_sizes[i][0], t_dim=fm_sizes[i][1],
-                          dtype=self.dtype, name=f"block{i}")(x, train)
+                          dtype=self.dtype, name=f"block{i}")(x, train, tv)
+            if tv is not None:
+                stride = 1 if cnf.dilation > 1 else cnf.stride
+                tv = conv_out_count(tv, cnf.kernel, stride, cnf.dilation)
         x = ConvNormAct(6 * table[-1].out_channels, 1, dtype=self.dtype,
                         name="tail")(x, train)
 
-        if time_valid is not None:
-            embedding = masked_time_mean(x, time_valid)
+        if tv is not None:
+            embedding = masked_time_mean(x, tv)
         else:
             embedding = jnp.mean(x, axis=(1, 2))
 
         if cfg.head_type == "mlp":
             logits = MlpHead(last_channel, cfg.num_classes, cfg.dropout,
-                             dtype=self.dtype, name="head")(x, train, time_valid)
+                             dtype=self.dtype, name="head")(x, train, tv)
         elif cfg.head_type == "fully_convolutional":
             logits = FullyConvHead(cfg.num_classes, dtype=self.dtype,
-                                   name="head")(x, train, time_valid)
+                                   name="head")(x, train, tv)
         elif cfg.head_type == "multihead_attention_pooling":
             logits = MultiHeadAttentionPooling(
                 6 * table[-1].out_channels, cfg.num_classes,
                 cfg.multihead_attention_heads, dtype=self.dtype,
-                name="head")(x, time_valid)
+                name="head")(x, tv)
         else:
             raise NotImplementedError(
                 f"Head '{cfg.head_type}' unknown. Must be one of: 'mlp', "
@@ -158,9 +169,11 @@ class MN(nn.Module):
 
 
 def output_time_frames(cfg, t_in):
-    """Valid output-time-frame count after the conv stack, for masked pooling.
+    """Valid output-time-frame count after the conv stack.
 
-    Works elementwise on ints or integer arrays (jnp/np).
+    Works elementwise on ints or integer arrays (jnp/np). Note the model's
+    ``time_valid`` argument takes INPUT mel-frame counts and derives the
+    per-stage counts itself; this helper remains for analysis/tests.
     """
     def conv_out(t, k, s, d):
         pad = (k - 1) // 2 * d

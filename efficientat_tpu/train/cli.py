@@ -145,12 +145,10 @@ def _run_eval(spec, je, state, eval_loader, temperature, batch_size,
             wave = np.concatenate(
                 [wave, np.zeros((batch_size - n,) + wave.shape[1:], np.float32)])
         if variable_cfg is not None:
-            from efficientat_tpu.models.mn import output_time_frames
-
-            model_cfg, mel_cfg = variable_cfg
+            _, mel_cfg = variable_cfg
             samples = np.asarray(batch["wave_samples"], np.int64)
-            frames = (samples - 1) // mel_cfg.hopsize + 1
-            tv = output_time_frames(model_cfg, frames).astype(np.int32)
+            # valid INPUT mel frames; the model derives per-stage counts
+            tv = ((samples - 1) // mel_cfg.hopsize + 1).astype(np.int32)
             tv = np.concatenate([tv, np.ones(wave.shape[0] - n, np.int32)])
             logits = np.asarray(je(state, jnp.asarray(wave), temperature,
                                    jnp.asarray(tv)))[:n]

@@ -180,10 +180,10 @@ def make_eval_step(model, mel_cfg: MelConfig, mesh=None,
                    masked: bool = False) -> Callable:
     """Jittable eval step: (state, wave, temperature[, time_valid]) -> logits.
 
-    With ``masked=True`` the step takes a per-sample valid-output-frame
-    count and pools only valid frames (bucket-padded variable-length eval,
-    the batched counterpart of the reference's batch-1 exact-length mode,
-    ex_fsd50k.py:73-77).
+    With ``masked=True`` the step takes a per-sample valid INPUT-mel-frame
+    count; the model re-masks padded frames at every stage, so together with
+    ``data.core.exact_eval_pad`` the logits equal the reference's batch-1
+    exact-length mode (ex_fsd50k.py:73-77) to fp rounding.
     """
 
     if masked:

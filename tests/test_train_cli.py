@@ -50,13 +50,12 @@ def test_masked_pooling_full_length_equals_unmasked():
     import jax.numpy as jnp
 
     from efficientat_tpu.models import MN, MNConfig
-    from efficientat_tpu.models.mn import output_time_frames
 
     model = MN(MNConfig(width_mult=0.1, num_classes=7))
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 128, 64, 1)),
                     jnp.float32)
     v = model.init(jax.random.PRNGKey(0), x)
-    full = output_time_frames(model.cfg, 64)
+    full = 64  # time_valid counts INPUT mel frames
     l_plain, e_plain = model.apply(v, x)
     l_masked, e_masked = model.apply(v, x, False, jnp.full((2,), full, jnp.int32))
     np.testing.assert_allclose(np.asarray(l_plain), np.asarray(l_masked), rtol=1e-5, atol=1e-6)
@@ -164,11 +163,48 @@ def test_fsd50k_real_split_wiring(monkeypatch, tmp_path):
     assert any(n.startswith("FSD50K.val") for n in opened), opened
 
 
-def test_masked_variable_eval_deviation():
-    """Quantify bucket-padded masked eval vs exact-shape forward (the
-    reference's batch-1 exact baseline, ex_fsd50k.py:73-77). Padded frames
-    leak into conv receptive fields near the boundary; this pins the
-    measured deviation so regressions (or silent mask breakage) surface."""
+def test_exact_eval_pad_mel_frames_identical():
+    """The pre-emphasis-aware pad continuation must reproduce the unpadded
+    clip's mel frames exactly (data/core.py:exact_eval_pad)."""
+    import jax.numpy as jnp
+
+    from efficientat_tpu.data.core import exact_eval_pad
+    from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram
+
+    mel_cfg = MelConfig()
+    rng = np.random.default_rng(3)
+    for n in (17000, 64000, 131072):
+        wave = (rng.normal(size=n) * 0.1).astype(np.float32)
+        mel_e = np.asarray(log_mel_spectrogram(jnp.asarray(wave[None]), mel_cfg))
+        wp = exact_eval_pad(wave, 160000)
+        np.testing.assert_array_equal(wp[:n], wave)
+        mel_p = np.asarray(log_mel_spectrogram(jnp.asarray(wp[None]), mel_cfg))
+        frames = (n - 1) // mel_cfg.hopsize + 1
+        np.testing.assert_allclose(mel_p[:, :, :frames], mel_e, rtol=0, atol=2e-5)
+
+
+def _randomize_variables(variables, seed):
+    """Perturb every float leaf (params AND batch stats) so BN(0) != 0 —
+    otherwise zero-initialized BN biases would hide missing re-masking."""
+    import jax
+    import jax.numpy as jnp
+
+    g = np.random.default_rng(seed)
+
+    def jitter(leaf):
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+            return leaf + jnp.asarray(
+                g.normal(scale=0.05, size=leaf.shape).astype(np.float32))
+        return leaf
+
+    return jax.tree.map(jitter, variables)
+
+
+def test_masked_variable_eval_exact():
+    """Bucket-padded masked eval must EQUAL the exact-shape forward (the
+    reference's batch-1 baseline, ex_fsd50k.py:73-77) to fp32 rounding:
+    exact_eval_pad makes the valid mel frames identical and the per-stage
+    time masking makes padded frames behave like conv zero-padding."""
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -176,39 +212,65 @@ def test_masked_variable_eval_deviation():
     import jax.numpy as jnp
     from torch_oracle import make_mn_state_dict
 
+    from efficientat_tpu.data.core import exact_eval_pad
     from efficientat_tpu.models.convert import convert
-    from efficientat_tpu.models.mn import MN, MNConfig, output_time_frames
+    from efficientat_tpu.models.mn import MN, MNConfig
     from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram
 
     cfg = MNConfig(width_mult=0.4, num_classes=10)
     mel_cfg = MelConfig()
     model = MN(cfg)
     sd = {k: v.numpy() for k, v in make_mn_state_dict(cfg, seed=1).items()}
-    variables = jax.tree.map(jnp.asarray, convert(sd, cfg))
+    variables = _randomize_variables(jax.tree.map(jnp.asarray, convert(sd, cfg)), 7)
     rng = np.random.default_rng(0)
     sr, pad_n = 32000, 320000
 
-    # (clip seconds, max allowed |logit dev| / logit std) — measured values
-    # (0.121, 0.069, 0.052, 0.036, 0.029) with ~1.5x margin
-    bounds = [(2.0, 0.20), (3.7, 0.12), (5.0, 0.09), (7.3, 0.06), (9.5, 0.05)]
-    rels = []
-    for sec, bound in bounds:
+    for sec in (2.0, 3.7, 5.0, 9.5):
         n = int(sec * sr)
         wave = (rng.normal(size=n) * 0.1).astype(np.float32)
         mel_e = log_mel_spectrogram(jnp.asarray(wave[None]), mel_cfg)
         exact, _ = model.apply(variables, mel_e[..., None])
-        wp = np.zeros(pad_n, np.float32)
-        wp[:n] = wave
+        wp = exact_eval_pad(wave, pad_n)
         mel_p = log_mel_spectrogram(jnp.asarray(wp[None]), mel_cfg)
-        frames = (n - 1) // mel_cfg.hopsize + 1
-        tv = jnp.asarray([output_time_frames(cfg, frames)], jnp.int32)
-        masked, _ = model.apply(variables, mel_p[..., None], False, tv)
+        frames = jnp.asarray([(n - 1) // mel_cfg.hopsize + 1], jnp.int32)
+        masked, _ = model.apply(variables, mel_p[..., None], False, frames)
         exact, masked = np.asarray(exact), np.asarray(masked)
-        rel = np.abs(exact - masked).max() / exact.std()
-        rels.append(rel)
-        assert rel < bound, (sec, rel, bound)
-    # deviation must shrink as padding shrinks
-    assert rels[0] > rels[-1]
+        dev = np.abs(exact - masked).max()
+        assert dev < 5e-4 * max(1.0, np.abs(exact).max()), (sec, dev)
+
+
+def test_masked_variable_eval_exact_dymn():
+    """Same exactness contract for DyMN (ContextGen time pooling, dynamic
+    convs, CoordAtt all masked)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.data.core import exact_eval_pad
+    from efficientat_tpu.models.dymn import DyMN, DyMNConfig
+    from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram
+
+    cfg = DyMNConfig(width_mult=0.4, num_classes=10, t_max=1.0)
+    mel_cfg = MelConfig()
+    model = DyMN(cfg)
+    rng = np.random.default_rng(0)
+    sr, pad_n = 32000, 256000
+
+    n = int(3.3 * sr)
+    wave = (rng.normal(size=n) * 0.1).astype(np.float32)
+    mel_e = log_mel_spectrogram(jnp.asarray(wave[None]), mel_cfg)
+    variables = _randomize_variables(
+        model.init(jax.random.PRNGKey(0), mel_e[..., None]), 8)
+    exact, _ = model.apply(variables, mel_e[..., None], False, 1.0)
+    wp = exact_eval_pad(wave, pad_n)
+    mel_p = log_mel_spectrogram(jnp.asarray(wp[None]), mel_cfg)
+    frames = jnp.asarray([(n - 1) // mel_cfg.hopsize + 1], jnp.int32)
+    masked, _ = model.apply(variables, mel_p[..., None], False, 1.0, frames)
+    exact, masked = np.asarray(exact), np.asarray(masked)
+    dev = np.abs(exact - masked).max()
+    assert dev < 5e-4 * max(1.0, np.abs(exact).max()), dev
 
 
 def test_audioset_train_eval_on_real_format_mp3_hdf5(tmp_path):
