@@ -56,7 +56,7 @@ def _basis_no_nyquist(n_fft: int, win_length: int) -> np.ndarray:
 
 def _mel_kernel(wave_ref, basis_ref, banks_ref, out_ref,
                 *, hop_rows: int, n_parts: int, n_bins: int,
-                scratch_rows: int):
+                scratch_rows: int, dft_precision):
     from jax.experimental import pallas as pl
 
     t = pl.program_id(1)
@@ -71,11 +71,24 @@ def _mel_kernel(wave_ref, basis_ref, banks_ref, out_ref,
              for p in range(n_parts)]
     frames = jnp.concatenate(parts, axis=1)  # (FRAME_TILE, n_fft)
 
-    # Precision.HIGHEST = true fp32 MXU passes; the default single-pass
-    # mode truncates to bf16, which is catastrophic at spectral nulls
-    # (power ~ 0 from cancellation) once the log is taken.
-    proj = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    # dft_precision trades MXU passes for accuracy. The default single-pass
+    # mode (bf16 operands) is catastrophic at spectral nulls (power ~ 0 from
+    # cancellation) once the log is taken; HIGHEST (6-pass) is exact fp32.
+    # "bf16x3" is a manual 3-pass scheme (Mosaic rejects Precision.HIGH):
+    # split both operands into bf16 hi + lo halves (hi+lo reproduces ~16
+    # mantissa bits) and drop only the lo*lo term — half the GEMM cost of
+    # HIGHEST; accuracy quantified by scripts/bench_mel_precision.py.
+    if dft_precision == "bf16x3":
+        b32 = basis_ref[:]
+        b_hi = b32.astype(jnp.bfloat16)
+        b_lo = (b32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        f_hi = frames.astype(jnp.bfloat16)
+        f_lo = (frames - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        proj = dot(f_hi, b_hi) + (dot(f_hi, b_lo) + dot(f_lo, b_hi))
+    else:
+        proj = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32,
+                       precision=dft_precision)
     re = proj[:, :n_bins]
     im = proj[:, n_bins:]
     power = re * re + im * im  # (FRAME_TILE, n_bins)
@@ -86,7 +99,7 @@ def _mel_kernel(wave_ref, basis_ref, banks_ref, out_ref,
 
 
 def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
-                        cfg: MelConfig) -> jnp.ndarray:
+                        cfg: MelConfig, dft_precision=None) -> jnp.ndarray:
     """Pre-emphasized-raw waveform (B, S) -> normalized log-mel (B, n_mels, frames).
 
     ``banks`` is the (n_mels, n_fft//2+1) Kaldi bank (possibly per-call
@@ -122,9 +135,12 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
     banks_t = jnp.transpose(banks[:, :n_bins], (1, 0)).astype(jnp.float32)
 
     b = wave2d.shape[0]
+    if dft_precision is None:
+        dft_precision = jax.lax.Precision.HIGHEST
     kernel = functools.partial(_mel_kernel, hop_rows=hop_rows,
                                n_parts=n_parts, n_bins=n_bins,
-                               scratch_rows=scratch_rows)
+                               scratch_rows=scratch_rows,
+                               dft_precision=dft_precision)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
@@ -151,7 +167,7 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
 
 
 def stft_log_mel_pallas_sharded(wave, banks, cfg: MelConfig, mesh,
-                                axis: str = "data"):
+                                axis: str = "data", dft_precision=None):
     """Fused kernel under a data-parallel mesh: shard_map over the batch.
 
     Each device runs the pallas kernel on its batch shard; the bank matrix
@@ -160,7 +176,7 @@ def stft_log_mel_pallas_sharded(wave, banks, cfg: MelConfig, mesh,
     from jax.sharding import PartitionSpec as P
 
     fn = jax.shard_map(
-        lambda w, b: stft_log_mel_pallas(w, b, cfg),
+        lambda w, b: stft_log_mel_pallas(w, b, cfg, dft_precision),
         mesh=mesh,
         in_specs=(P(axis), P()),
         out_specs=P(axis),
@@ -177,6 +193,7 @@ def log_mel_spectrogram_fused(
     rng: Optional[jax.Array] = None,
     backend: str = "auto",
     mesh=None,
+    dft_precision=None,
 ) -> jnp.ndarray:
     """Drop-in for ops.melspec.log_mel_spectrogram with a fused-kernel path.
 
@@ -184,6 +201,13 @@ def log_mel_spectrogram_fused(
     "auto" (pallas when the config supports it and a TPU is present).
     Under a multi-device mesh pass ``mesh`` so the kernel is shard_mapped
     over the batch axis; without it, auto falls back to XLA on >1 device.
+
+    dft_precision defaults to "bf16x3" (3-pass split-operand GEMM): within
+    1e-3 max / 3.3e-4 p999 of the 6-pass fp32 HIGHEST on the normalized
+    log-mel over adversarial signals (deep spectral nulls, silence) and
+    ~1.25x faster end-to-end — far tighter than the reference's own
+    fp16-autocast STFT (ex_audioset.py:304). Pass
+    ``jax.lax.Precision.HIGHEST`` for bit-level parity work.
     """
     from efficientat_tpu.ops.filterbank import kaldi_mel_banks
     from efficientat_tpu.ops.melspec import log_mel_spectrogram
@@ -207,11 +231,14 @@ def log_mel_spectrogram_fused(
             r_fmax, (), 0, cfg.fmax_aug_range).astype(jnp.float32)
     banks = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, fmin, fmax)
 
+    if dft_precision is None:
+        dft_precision = "bf16x3"
     wave32 = waveform.astype(jnp.float32)
     if mesh is not None and len(mesh.devices.reshape(-1)) > 1:
-        mel = stft_log_mel_pallas_sharded(wave32, banks, cfg, mesh)
+        mel = stft_log_mel_pallas_sharded(wave32, banks, cfg, mesh,
+                                          dft_precision=dft_precision)
     else:
-        mel = stft_log_mel_pallas(wave32, banks, cfg)
+        mel = stft_log_mel_pallas(wave32, banks, cfg, dft_precision)
 
     if training:
         # masks zero the *log-mel* then renormalize — post-kernel the values

@@ -10,13 +10,14 @@ from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram, preempha
 from efficientat_tpu.ops import mel_pallas
 
 
-def _fused_interpret(wave, cfg):
+def _fused_interpret(wave, cfg, dft_precision=None):
     from jax.experimental.pallas import tpu as pltpu
 
     banks = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, cfg.fmin,
                             cfg.effective_fmax)
     with pltpu.force_tpu_interpret_mode():
-        return mel_pallas.stft_log_mel_pallas(jnp.asarray(wave), banks, cfg)
+        return mel_pallas.stft_log_mel_pallas(jnp.asarray(wave), banks, cfg,
+                                              dft_precision)
 
 
 def test_pallas_supported_configs():
@@ -73,6 +74,24 @@ def test_fused_sharded_over_mesh_interpret():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(jax.jit(
             lambda x: mel_pallas.log_mel_spectrogram_fused(
-                x, cfg, backend="pallas", mesh=mesh))(w))
+                x, cfg, backend="pallas", mesh=mesh,
+                dft_precision=jax.lax.Precision.HIGHEST))(w))
     want = np.asarray(log_mel_spectrogram(wave, cfg))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bf16x3_accuracy():
+    """The default 3-pass split-operand DFT GEMM must stay within 2e-3 of
+    the fp32 XLA path on null-heavy signals (measured on-chip: 1e-3 max,
+    scripts/bench_mel_precision.py)."""
+    cfg = MelConfig()
+    rng = np.random.default_rng(4)
+    t = np.arange(64000) / 32000.0
+    wave = np.stack([
+        (0.3 * np.sin(2 * np.pi * 137.7 * t)).astype(np.float32),  # deep nulls
+        (rng.normal(size=64000) * 0.1).astype(np.float32),
+        np.zeros(64000, np.float32),                               # silence
+    ])
+    want = np.asarray(_fused_interpret(wave, cfg, jax.lax.Precision.HIGHEST))
+    got = np.asarray(_fused_interpret(wave, cfg, "bf16x3"))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-3)
