@@ -6,22 +6,44 @@ frame assembly -> windowed rDFT GEMM (MXU) -> power -> mel GEMM (MXU)
 frames tile never materialized in HBM (the XLA reference path materializes
 a (B, frames, 1024) fp32 tensor — ~256 MB at batch 64).
 
-Key layout tricks:
-- The Nyquist FFT bin is dropped: the reference's Kaldi mel bank has an
-  all-zero Nyquist column (models/preprocess.py:54), so only n_fft/2 = 512
-  frequency bins contribute — making the DFT basis exactly (1024, 1024)
-  (cos | sin) and the mel bank (512, n_mels): every GEMM dimension is a
-  multiple of 128 (MXU-perfect, no lane padding waste).
-- The waveform arrives pre-emphasized, reflect-padded, and laid out as
-  128-sample rows that overlap by 64 (row m = samples [64m, 64m+128)); with
-  hop % 64 == 0 every frame is 8 such rows at even 64-chunk offsets, so a
-  frame tile is 8 static slices of a (rows, hop/64, 128) view — lane width
-  is always 128 (Mosaic's tiling requirement; 64-wide lanes are rejected).
-  Rows are DMA'd from HBM per tile (manual async copy; tile windows overlap
-  so BlockSpec can't express them).
+Key design points (each one measured, scripts/probe_mel_kernel.py):
 
-Supported configs: n_fft = 1024, hop % 64 == 0 (the default 320 and the
-hop-20 variant 640). Other shapes fall back to the XLA GEMM path
+- **Pre-emphasis is folded into the DFT basis.** The reference applies
+  ``xe[t] = x[t+1] - 0.97*x[t]`` to the waveform before the STFT
+  (models/preprocess.py:30,41). Because the Hann window is zero at the
+  frame edges, the windowed DFT of the pre-emphasized signal equals a
+  plain dot of the *raw* signal with a folded basis
+  ``B'[j,k] = b[j-1,k] - 0.97*b[j,k]`` (b[-1] := 0). This removes both
+  the pre-emphasis op (misaligned-by-one lane slices, ~2.4 ms/batch-64 in
+  XLA) and the reflect pad (~1.3 ms) from the XLA prep — only a constant
+  pad remains — and is also ~19x *more accurate* under the bf16x3 GEMM
+  (7e-5 vs 1.4e-3 max) because the pre-emphasis subtraction no longer
+  cancels in bf16. The few frames per clip whose window overlaps the
+  reflect-pad region are recomputed exactly in XLA on 2048-sample slivers
+  and patched into the output.
+  On real audio the fold helps the fp32 path too: smooth low-frequency
+  content makes xe tiny relative to x, so computing the subtraction on
+  the waveform in fp32 (as the XLA path and the torch reference both do)
+  loses ~4 digits. On the demo clip this kernel is within 2.3e-5 of the
+  float64 truth where the XLA path deviates by 3.1e-3 — a fused-vs-XLA
+  comparison on real audio reports ~3e-3, and that residual is the *XLA
+  path's* error.
+- The Nyquist FFT bin is dropped: the reference's Kaldi mel bank has an
+  all-zero Nyquist row (models/preprocess.py:54), so only n_fft/2 = 512
+  frequency bins contribute — making the DFT basis exactly (1024, 1024)
+  (cos | sin) and every GEMM dimension a multiple of 128 (MXU-perfect).
+- **Frame assembly from the undoubled (G, 5, 128) waveform view.** With
+  hop=320, frames at even index start lane-aligned every 5 chunks of 128
+  samples and odd frames sit at a 64-lane offset; the kernel assembles a
+  128-frame tile as 64 even frames (8 aligned slices) + 64 odd frames
+  (8 slice-pairs lane-stitched at offset 64) and un-interleaves the mel
+  rows at the end. This avoids materializing the 2x-overlapped row
+  layout in HBM that the previous kernel needed (~1.2 ms/batch-64).
+  With hop=640 every frame is lane-aligned and the parity split
+  disappears.
+
+Supported configs: n_fft = 1024 and hop in {320, 640} (the default and
+the hop-20 variant). Other shapes fall back to the XLA GEMM path
 (ops.melspec) automatically via ``log_mel_spectrogram(backend="auto")``.
 """
 
@@ -37,11 +59,12 @@ import numpy as np
 from efficientat_tpu.ops.melspec import MelConfig, _dft_basis
 
 FRAME_TILE = 128
-LANE = 64  # samples per row of the chunked waveform layout
+GROUP = 640  # samples per group row-block (5 chunks of 128)
+PREEMPH = 0.97
 
 
 def pallas_supported(cfg: MelConfig) -> bool:
-    return cfg.n_fft == 1024 and cfg.hopsize % LANE == 0
+    return cfg.n_fft == 1024 and cfg.hopsize in (320, 640)
 
 
 @functools.lru_cache(maxsize=8)
@@ -54,104 +77,185 @@ def _basis_no_nyquist(n_fft: int, win_length: int) -> np.ndarray:
     return np.concatenate([cos, sin], axis=1)  # (1024, 1024)
 
 
-def _mel_kernel(wave_ref, basis_ref, banks_ref, out_ref,
-                *, hop_rows: int, n_parts: int, n_bins: int,
-                scratch_rows: int, dft_precision):
+@functools.lru_cache(maxsize=8)
+def _folded_basis_no_nyquist(n_fft: int, win_length: int,
+                             coef: float = PREEMPH) -> np.ndarray:
+    """Pre-emphasis-folded windowed rDFT basis, built in float64.
+
+    For xe[t] = x[t+1] - coef*x[t] and a windowed basis b[m,k] whose
+    window is zero at m=0 and m=n_fft-1 (win_length < n_fft, centered),
+    sum_m b[m,k]*xe[q+m] == sum_j B'[j,k]*x[q+j] with
+    B'[j,k] = b[j-1,k] - coef*b[j,k] (b[-1] := 0): substituting the
+    pre-emphasis and re-indexing, the two boundary terms carry a factor
+    b[0,k] = b[n_fft-1,k] = 0.
+    """
+    from efficientat_tpu.ops.melspec import hann_window
+
+    n_freq = n_fft // 2 + 1
+    w = np.zeros(n_fft, dtype=np.float64)
+    left = (n_fft - win_length) // 2
+    w[left:left + win_length] = hann_window(win_length)
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_freq, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    basis = np.concatenate([np.cos(ang) * w[:, None],
+                            np.sin(ang) * w[:, None]], axis=1)
+    basis = np.concatenate([basis[:, : n_freq - 1],
+                            basis[:, n_freq: 2 * n_freq - 1]], axis=1)
+    shifted = np.vstack([np.zeros((1, basis.shape[1])), basis[:-1]])
+    return (shifted - coef * basis).astype(np.float32)
+
+
+def _mel_kernel(v_ref, *refs, parity: int, n_bins: int, bf16x3: bool,
+                dft_precision=None):
+    """Assemble one 128-frame tile from the (G, 5, 128) view and compute
+    its normalized log-mel rows.
+
+    Frame i's part q (128 samples) starts at raw sample
+    320*i - 512 + 128*q + 640 (the +640 is the one-group left pad), i.e.
+    chunk 5*(i/2) + 1 + q for even i — an aligned slice — and chunk
+    5*(i-1)/2 + 3 + q with a 64-lane offset for odd i.
+    """
     from jax.experimental import pallas as pl
 
-    t = pl.program_id(1)
-    rows_per_tile = FRAME_TILE * hop_rows
-
-    window = wave_ref[0, pl.ds(t * rows_per_tile, scratch_rows), :]
-    # rows are 128 samples overlapping by 64: frame i, part p lives at row
-    # hop_rows*i + 2p -> (group, phase) = (i + 2p//hop_rows, 2p % hop_rows)
-    view = window.reshape(scratch_rows // hop_rows, hop_rows, 2 * LANE)
-    parts = [view[(2 * p // hop_rows):(2 * p // hop_rows) + FRAME_TILE,
-                  (2 * p) % hop_rows, :]
-             for p in range(n_parts)]
-    frames = jnp.concatenate(parts, axis=1)  # (FRAME_TILE, n_fft)
-
-    # dft_precision trades MXU passes for accuracy. The default single-pass
-    # mode (bf16 operands) is catastrophic at spectral nulls (power ~ 0 from
-    # cancellation) once the log is taken; HIGHEST (6-pass) is exact fp32.
-    # "bf16x3" is a manual 3-pass scheme (Mosaic rejects Precision.HIGH):
-    # split both operands into bf16 hi + lo halves (hi+lo reproduces ~16
-    # mantissa bits) and drop only the lo*lo term — half the GEMM cost of
-    # HIGHEST; accuracy quantified by scripts/bench_mel_precision.py.
-    if dft_precision == "bf16x3":
-        b32 = basis_ref[:]
-        b_hi = b32.astype(jnp.bfloat16)
-        b_lo = (b32 - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        f_hi = frames.astype(jnp.bfloat16)
-        f_lo = (frames - f_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-        proj = dot(f_hi, b_hi) + (dot(f_hi, b_lo) + dot(f_lo, b_hi))
+    if bf16x3:
+        bhi_ref, blo_ref, banks_ref, out_ref = refs
     else:
-        proj = jnp.dot(frames, basis_ref[:], preferred_element_type=jnp.float32,
+        b32_ref, banks_ref, out_ref = refs
+
+    t = pl.program_id(1)
+    rows = FRAME_TILE // parity
+    jt = t * rows
+    ev = [v_ref[0, pl.ds(jt + (q + 1) // 5, rows), (q + 1) % 5, :]
+          for q in range(8)]
+    frames = jnp.concatenate(ev, axis=1)  # (rows, 1024)
+    if parity == 2:
+        od = []
+        for q in range(8):
+            a = v_ref[0, pl.ds(jt + (3 + q) // 5, rows), (3 + q) % 5, :]
+            b = v_ref[0, pl.ds(jt + (4 + q) // 5, rows), (4 + q) % 5, :]
+            od.append(jnp.concatenate([a[:, 64:], b[:, :64]], axis=1))
+        frames = jnp.concatenate([frames, jnp.concatenate(od, axis=1)],
+                                 axis=0)  # (128, 1024) [evens; odds]
+
+    # bf16x3: 3-pass split-operand GEMM (hi+lo reproduces ~16 mantissa
+    # bits; the lo*lo term is dropped) — half the MXU cost of the 6-pass
+    # fp32 HIGHEST at 7e-5 max deviation (scripts/bench_mel_precision.py).
+    if bf16x3:
+        fh = frames.astype(jnp.bfloat16)
+        fl = (frames - fh.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+        proj = dot(fh, bhi_ref[:]) + (dot(fh, blo_ref[:]) + dot(fl, bhi_ref[:]))
+    else:
+        proj = jnp.dot(frames, b32_ref[:], preferred_element_type=jnp.float32,
                        precision=dft_precision)
     re = proj[:, :n_bins]
     im = proj[:, n_bins:]
-    power = re * re + im * im  # (FRAME_TILE, n_bins)
+    power = re * re + im * im
 
     mel = jnp.dot(power, banks_ref[:], preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.HIGHEST)
-    out_ref[0] = (jnp.log(mel + 1e-5) + 4.5) / 5.0
+    m = (jnp.log(mel + 1e-5) + 4.5) / 5.0
+    if parity == 2:
+        # un-interleave [evens; odds] back to frame order
+        m = jnp.stack([m[:rows], m[rows:]], axis=1).reshape(FRAME_TILE, -1)
+    out_ref[0] = m
+
+
+def _edge_frames_logmel(wave, banks_t, cfg: MelConfig, left_f, right_f):
+    """Exact (fp32 HIGHEST) log-mel rows for the frames whose window
+    touches the reflect-pad region — the one place where the folded-basis
+    kernel (which sees a zero pad) differs from the reference math.
+    Computed on 2048-sample slivers; cost is negligible (<=4 frames/clip).
+    """
+    n_fft, hop = cfg.n_fft, cfg.hopsize
+    pad = n_fft // 2
+    seg = 2048
+    frames = []
+    if left_f:
+        s = wave[:, :seg]
+        xe = s[:, 1:] - PREEMPH * s[:, :-1]
+        xep = jnp.pad(xe, ((0, 0), (pad, 0)), mode="reflect")
+        for f in left_f:
+            frames.append(xep[:, f * hop: f * hop + n_fft])
+    if right_f:
+        s = wave[:, -seg:]
+        xe = s[:, 1:] - PREEMPH * s[:, :-1]
+        xep = jnp.pad(xe, ((0, 0), (0, pad)), mode="reflect")
+        base = wave.shape[1] - seg  # xe here starts at global xe index `base`
+        for f in right_f:
+            off = f * hop - pad - base
+            frames.append(xep[:, off: off + n_fft])
+    fr = jnp.stack(frames, axis=1)  # (B, n_edge, n_fft)
+    basis = jnp.asarray(_basis_no_nyquist(n_fft, cfg.win_length))
+    proj = jnp.einsum("ben,nk->bek", fr, basis,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    n_bins = n_fft // 2
+    power = proj[..., :n_bins] ** 2 + proj[..., n_bins:] ** 2
+    mel = jnp.dot(power, banks_t, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    return (jnp.log(mel + 1e-5) + 4.5) / 5.0
 
 
 def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
                         cfg: MelConfig, dft_precision=None) -> jnp.ndarray:
-    """Pre-emphasized-raw waveform (B, S) -> normalized log-mel (B, n_mels, frames).
+    """Raw waveform (B, S) -> normalized log-mel (B, n_mels, frames).
 
-    ``banks`` is the (n_mels, n_fft//2+1) Kaldi bank (possibly per-call
-    jittered); its zero Nyquist column is dropped inside.
+    Pre-emphasis, window, rDFT, power, mel, log and normalization are all
+    inside the kernel (pre-emphasis via the folded basis). ``banks`` is
+    the (n_mels, n_fft//2+1) Kaldi bank (possibly per-call jittered); its
+    zero Nyquist row is dropped inside.
+
+    ``dft_precision``: ``"bf16x3"`` (3-pass split-operand GEMM, default
+    for serving) or ``jax.lax.Precision.HIGHEST`` (exact fp32, default
+    here for parity work).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert pallas_supported(cfg), "unsupported mel config for the fused kernel"
     n_fft, hop = cfg.n_fft, cfg.hopsize
-    hop_rows = hop // LANE          # 64-sample chunks per hop
-    n_parts = n_fft // (2 * LANE)   # 128-wide parts per frame
     n_bins = n_fft // 2
-
-    x = wave[:, 1:] - 0.97 * wave[:, :-1]  # pre-emphasis
-    n_frames = x.shape[1] // hop + 1
-    n_tiles = -(-n_frames // FRAME_TILE)
-
     pad = n_fft // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
-    # last row starts at chunk (n_tiles*128-1)*hop_rows + 2*(n_parts-1) and
-    # spans 2 chunks; scratch windows are hop_rows-aligned
-    max_parts_off = 2 * (n_parts - 1)
-    scratch_rows = -(-(FRAME_TILE * hop_rows + max_parts_off) // hop_rows) * hop_rows
-    rows_needed = n_tiles * FRAME_TILE * hop_rows + scratch_rows
-    total = (rows_needed + 1) * LANE  # +1: rows are 128 wide over 64-chunks
-    x = jnp.pad(x, ((0, 0), (0, total - x.shape[1])))
-    chunks = x.reshape(x.shape[0], rows_needed + 1, LANE)
-    # overlapping 128-wide rows: row m = [chunk m, chunk m+1]
-    wave2d = jnp.concatenate([chunks[:, :-1], chunks[:, 1:]], axis=-1)
+    parity = 2 if hop == 320 else 1
+    rows = FRAME_TILE // parity
 
-    basis = jnp.asarray(_basis_no_nyquist(n_fft, cfg.win_length))
-    banks_t = jnp.transpose(banks[:, :n_bins], (1, 0)).astype(jnp.float32)
+    len_xe = wave.shape[1] - 1
+    n_frames = len_xe // hop + 1
+    n_tiles = -(-n_frames // FRAME_TILE)
+    g_need = rows * n_tiles + 2
+    total = g_need * GROUP
+    x = jnp.pad(wave, ((0, 0), (GROUP, total - GROUP - wave.shape[1])))
+    v = x.reshape(x.shape[0], g_need, 5, 128)
 
-    b = wave2d.shape[0]
     if dft_precision is None:
         dft_precision = jax.lax.Precision.HIGHEST
-    kernel = functools.partial(_mel_kernel, hop_rows=hop_rows,
-                               n_parts=n_parts, n_bins=n_bins,
-                               scratch_rows=scratch_rows,
-                               dft_precision=dft_precision)
+    bf16x3 = dft_precision == "bf16x3"
+    basis_np = _folded_basis_no_nyquist(n_fft, cfg.win_length)
+    if bf16x3:
+        bhi_np = basis_np.astype(np.float32).astype(jnp.bfloat16)
+        ops = [jnp.asarray(bhi_np),
+               jnp.asarray((basis_np - np.asarray(bhi_np, np.float32))
+                           .astype(jnp.bfloat16))]
+    else:
+        ops = [jnp.asarray(basis_np)]
+    banks_t = jnp.transpose(banks[:, :n_bins], (1, 0)).astype(jnp.float32)
+
+    b = v.shape[0]
+    kernel = functools.partial(_mel_kernel, parity=parity, n_bins=n_bins,
+                               bf16x3=bf16x3, dft_precision=dft_precision)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            # whole (padded) row track of one clip; the same block is
+            # whole (padded) group track of one clip; the same block is
             # revisited for all frame tiles of a batch row, so Pallas
             # fetches it from HBM once per clip
-            pl.BlockSpec((1, rows_needed, 2 * LANE), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, g_need, 5, 128), lambda b, t: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_fft, n_fft), lambda b, t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((n_fft, n_fft), lambda b, t: (0, 0),
+                           memory_space=pltpu.VMEM) for _ in ops],
             pl.BlockSpec((n_bins, banks_t.shape[1]), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -160,7 +264,19 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * FRAME_TILE, banks_t.shape[1]),
                                        jnp.float32),
-    )(wave2d, basis, banks_t)
+    )(v, *ops, banks_t)
+
+    # patch the reflect-pad edge frames with the exact reference math
+    left_f = [f for f in range(n_frames) if f * hop < pad]
+    right_f = [f for f in range(n_frames) if f * hop + pad > len_xe]
+    if left_f or right_f:
+        edge = _edge_frames_logmel(wave, banks_t, cfg, left_f, right_f)
+        nl = len(left_f)
+        if left_f:
+            out = jax.lax.dynamic_update_slice(out, edge[:, :nl], (0, 0, 0))
+        if right_f:
+            out = jax.lax.dynamic_update_slice(out, edge[:, nl:],
+                                               (0, right_f[0], 0))
 
     # (B, frames_padded, n_mels) -> (B, n_mels, n_frames)
     return jnp.transpose(out[:, :n_frames, :], (0, 2, 1))
@@ -203,17 +319,23 @@ def log_mel_spectrogram_fused(
     over the batch axis; without it, auto falls back to XLA on >1 device.
 
     dft_precision defaults to "bf16x3" (3-pass split-operand GEMM): within
-    1e-3 max / 3.3e-4 p999 of the 6-pass fp32 HIGHEST on the normalized
-    log-mel over adversarial signals (deep spectral nulls, silence) and
-    ~1.25x faster end-to-end — far tighter than the reference's own
-    fp16-autocast STFT (ex_audioset.py:304). Pass
-    ``jax.lax.Precision.HIGHEST`` for bit-level parity work.
+    7e-5 max of the 6-pass fp32 HIGHEST on the normalized log-mel over
+    adversarial signals (deep spectral nulls, silence; the pre-emphasis
+    folding keeps the cancellation out of bf16) and ~1.2x faster
+    end-to-end — far tighter than the reference's own fp16-autocast STFT
+    (ex_audioset.py:304). Pass ``jax.lax.Precision.HIGHEST`` for
+    bit-level parity work.
     """
     from efficientat_tpu.ops.filterbank import kaldi_mel_banks
     from efficientat_tpu.ops.melspec import log_mel_spectrogram
 
     use_pallas = backend == "pallas" or (
         backend == "auto" and pallas_supported(cfg)
+        # the kernel holds one clip's whole sample track in VMEM (fetched
+        # once, revisited per frame tile): ~4*S bytes double-buffered next
+        # to the 4 MB basis — cap the auto path at ~30 s of 32 kHz audio
+        # (windowed inference batches 10 s windows well below this)
+        and 4096 <= waveform.shape[-1] <= 1_000_000
         and jax.default_backend() == "tpu"
         and (jax.device_count() == 1 or mesh is not None))
     if not use_pallas:
