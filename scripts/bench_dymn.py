@@ -49,27 +49,18 @@ def main():
         variables = model.init(jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
-        @jax.jit
+        from _bench_util import time_device
+
         def forward(variables, waves, eps):
             mel = log_mel_spectrogram_fused(waves + eps, mel_cfg)
             logits, _ = model.apply(variables, mel[..., None], False, 1.0)
             return jnp.sum(jax.nn.sigmoid(logits.astype(jnp.float32)))
 
-        t0 = time.perf_counter()
-        float(forward(variables, waves, jnp.float32(0.0)))  # compile+run
-        compile_s = time.perf_counter() - t0
-
-        t0 = time.perf_counter()
-        acc = 0.0
-        for i in range(ITERS):
-            acc = acc + forward(variables, waves, jnp.float32(i) * 1e-7)
-        total = float(acc)
-        dt = time.perf_counter() - t0
-        assert np.isfinite(total)
+        dt = time_device(forward, variables, waves, iters=ITERS)
         print(json.dumps({
             "model": "dymn10_as", "spec": spec_str, "batch": BATCH,
-            "clips_per_s": round(BATCH * ITERS / dt, 2),
-            "compile_s": round(compile_s, 1),
+            "clips_per_s": round(BATCH / dt, 2),
+            "compile_s": round(time_device.last_compile_s, 1),
         }), flush=True)
 
 

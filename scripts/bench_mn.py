@@ -45,25 +45,17 @@ def main():
         waves = jnp.asarray(
             rng.normal(size=(batch, CLIP * SR)).astype(np.float32) * 0.1)
 
-        @jax.jit
+        from _bench_util import time_device
+
         def forward(variables, waves, eps):
             mel = log_mel_spectrogram_fused(waves + eps, mel_cfg)
             logits, _ = model.apply(variables, mel[..., None])
             return jnp.sum(jax.nn.sigmoid(logits.astype(jnp.float32)))
 
-        t0 = time.perf_counter()
-        float(forward(variables, waves, jnp.float32(0.0)))
-        compile_s = time.perf_counter() - t0
-        iters = 16
-        t0 = time.perf_counter()
-        acc = 0.0
-        for i in range(iters):
-            acc = acc + forward(variables, waves, jnp.float32(i) * 1e-7)
-        total = float(acc)
-        dt = time.perf_counter() - t0
-        assert np.isfinite(total)
-        print(json.dumps({"case": tag, "clips_per_s": round(batch * iters / dt, 1),
-                          "compile_s": round(compile_s, 1)}), flush=True)
+        dt = time_device(forward, variables, waves)
+        print(json.dumps({"case": tag, "clips_per_s": round(batch / dt, 1),
+                          "compile_s": round(time_device.last_compile_s, 1)}),
+              flush=True)
 
 
 if __name__ == "__main__":

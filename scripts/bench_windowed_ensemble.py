@@ -47,27 +47,20 @@ def main():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
-    @jax.jit
+    from _bench_util import time_device
+
     def fwd_windows(variables, w, eps):
         mel = log_mel_spectrogram_fused(w + eps, mel_cfg)
         logits, _ = model.apply(variables, mel[..., None], False, 1.0)
         return jnp.sum(jax.nn.sigmoid(logits))
 
     wj = jnp.asarray(windows)
-    float(fwd_windows(variables, wj, jnp.float32(0.0)))
-    iters = 16
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc = acc + fwd_windows(variables, wj, jnp.float32(i) * 1e-7)
-    total = float(acc)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(total)
+    dt = time_device(fwd_windows, variables, wj)
     print(json.dumps({
         "case": "windowed dymn10_as 60s clip (10s win / 2.5s hop, one batch)",
         "n_windows": int(n_win),
-        "audio_seconds_per_s": round(clip_seconds * iters / dt, 1),
-        "clips60s_per_s": round(iters / dt, 2),
+        "audio_seconds_per_s": round(clip_seconds / dt, 1),
+        "clips60s_per_s": round(1.0 / dt, 2),
     }), flush=True)
 
     # ---- config 5: mn40_as_ext + dymn20_as ensemble ----------------------
@@ -78,7 +71,6 @@ def main():
     v2 = dymn20.init(jax.random.PRNGKey(2), jnp.zeros((1, 128, 1000, 1), jnp.float32))
     waves = jnp.asarray(rng.normal(size=(batch, 10 * SR)).astype(np.float32) * 0.1)
 
-    @jax.jit
     def fwd_ens(v1, v2, waves, eps):
         mel = log_mel_spectrogram_fused(waves + eps, mel_cfg)
         x = mel[..., None]
@@ -86,17 +78,10 @@ def main():
         l2, _ = dymn20.apply(v2, x, False, 1.0)
         return jnp.sum(jax.nn.sigmoid((l1 + l2) / 2.0))
 
-    float(fwd_ens(v1, v2, waves, jnp.float32(0.0)))
-    t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc = acc + fwd_ens(v1, v2, waves, jnp.float32(i) * 1e-7)
-    total = float(acc)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(total)
+    dt = time_device(fwd_ens, v1, v2, waves)
     print(json.dumps({
         "case": "ensemble mn40_as_ext+dymn20_as, B=64 10s clips",
-        "clips_per_s": round(batch * iters / dt, 1),
+        "clips_per_s": round(batch / dt, 1),
     }), flush=True)
 
 
