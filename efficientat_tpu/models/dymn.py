@@ -15,7 +15,10 @@ DynamicConv lowering (dy_block.py:44-131), chosen by on-chip measurement
 - dynamic depthwise convs fold batch into conv feature groups
   (``(1, F, T, B*C)``, ``feature_group_count=B*C``) — the same fold the
   reference uses on CUDA; XLA-TPU lowers it within ~1.5x of a static
-  depthwise conv, 14-30x faster than an unrolled shift-and-add.
+  depthwise conv, 14-30x faster than an unrolled shift-and-add, and —
+  despite micro-bench wins for a channel-multiplier alternative — faster
+  in-model at every shape (see ``_dynamic_depthwise_cm`` for the measured
+  negative result).
 
 The DynamicConv softmax temperature anneals per epoch
 (dy_block.py:133-139); it is passed in as a traced scalar so changing it
@@ -109,6 +112,36 @@ class DynamicConv(nn.Module):
             return _dynamic_depthwise(x, wb, ks, self.stride, self.dilation)
         raise NotImplementedError(
             "DynamicConv supports pointwise (k=1, groups=1) and full depthwise only")
+
+
+def _dynamic_depthwise_cm(x, w, att, ks: int, stride: int, dilation: int):
+    """Per-sample depthwise conv as ONE static conv with channel multiplier K.
+
+    x: (B, F, T, C); w: (K, ks, ks, C); att: (B, K). Output channel c*K+k
+    is bank k applied to input channel c (feature_group_count=C), then the
+    K outputs are mixed per sample with ``att`` — identical math to mixing
+    the kernels first (mixing outputs of a linear op == mixing kernels).
+
+    NOT used by the model: in isolated micro-benches this form beats the
+    batch-into-groups fold 2x at the k3/s2 block-1 shape and ~10-20% at
+    C>=480 (scripts/bench_dyconv2.py), but measured IN-MODEL it is slower
+    (dymn10 fp32 B=64: 1633 clips/s all-cm, 1584 b1-only, vs 1844 with the
+    fold) — the K-times-wider conv output breaks XLA's fusion of the
+    following BN/DyReLU chain. Kept (with an equivalence test) as the
+    documented negative result so the experiment isn't re-run blind.
+    """
+    b, f, t, c = x.shape
+    k = w.shape[0]
+    p = (ks - 1) // 2 * dilation
+    rhs = jnp.transpose(w, (1, 2, 3, 0)).reshape(ks, ks, 1, c * k)
+    out = jax.lax.conv_general_dilated(
+        x, rhs, (stride, stride), [(p, p), (p, p)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+    fo, to = out.shape[1], out.shape[2]
+    out = out.reshape(b, fo, to, c, k)
+    return jnp.einsum("bftck,bk->bftc", out, att)
 
 
 def _dynamic_depthwise(x, w, ks: int, stride: int, dilation: int):

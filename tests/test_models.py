@@ -207,3 +207,21 @@ def test_remat_is_numerically_transparent():
         for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_r)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ks,stride,c", [(3, 2, 64), (3, 1, 480), (5, 2, 672)])
+def test_dynamic_depthwise_lowerings_agree(ks, stride, c):
+    """The channel-multiplier form (static banks, mix outputs) must equal
+    the mixed-kernel grouped fold — both are the same linear op."""
+    from efficientat_tpu.models.dymn import (
+        _dynamic_depthwise, _dynamic_depthwise_cm)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 8, 10, c)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(4, ks, ks, c)).astype(np.float32))
+    att = jax.nn.softmax(jnp.asarray(rng.normal(size=(3, 4)).astype(np.float32)))
+    wb = jnp.einsum("bk,kuvc->buvc", att, w)
+    want = _dynamic_depthwise(x, wb, ks, stride, 1)
+    got = _dynamic_depthwise_cm(x, w, att, ks, stride, 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
