@@ -106,34 +106,75 @@ def _folded_basis_no_nyquist(n_fft: int, win_length: int,
     return (shifted - coef * basis).astype(np.float32)
 
 
-def _mel_kernel(v_ref, *refs, parity: int, n_bins: int, bf16x3: bool,
-                dft_precision=None):
-    """Assemble one 128-frame tile from the (G, 5, 128) view and compute
-    its normalized log-mel rows.
+def _mel_kernel(wave_ref, *refs, parity: int, n_bins: int, bf16x3: bool,
+                g_raw: int, dft_precision=None):
+    """Assemble one 128-frame tile from the staged (G, 5, 128) track and
+    compute its normalized log-mel rows.
+
+    The raw, UNPADDED wave track of one clip lives in HBM (``wave_ref``,
+    (B, g_raw, 5, 128), memory_space=ANY). It is DMA'd once per clip into
+    double-buffered VMEM scratch at a one-group offset (the left "pad"),
+    with the scratch edges zeroed on first touch; clip bi+1's copy is
+    started at clip bi's first tile so the DMA overlaps compute. This
+    replaces the XLA-side pad copy (~0.8 ms/batch-64) with a ~1.3 MB
+    contiguous DMA per clip (7.3 -> 4.0 ms total for the mel at B=64
+    across the folded-basis + undoubled-view + DMA-staging changes).
 
     Frame i's part q (128 samples) starts at raw sample
-    320*i - 512 + 128*q + 640 (the +640 is the one-group left pad), i.e.
-    chunk 5*(i/2) + 1 + q for even i — an aligned slice — and chunk
+    320*i - 512 + 128*q + 640 (the +640 is the one-group scratch offset),
+    i.e. chunk 5*(i/2) + 1 + q for even i — an aligned slice — and chunk
     5*(i-1)/2 + 3 + q with a 64-lane offset for odd i.
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     if bf16x3:
-        bhi_ref, blo_ref, banks_ref, out_ref = refs
+        bhi_ref, blo_ref, banks_ref, out_ref, v_ref, sem = refs
     else:
-        b32_ref, banks_ref, out_ref = refs
+        b32_ref, banks_ref, out_ref, v_ref, sem = refs
 
+    bi = pl.program_id(0)
     t = pl.program_id(1)
+    nb = pl.num_programs(0)
+    g_need = v_ref.shape[1]
+
+    def _stage(clip, slot):
+        return pltpu.make_async_copy(wave_ref.at[clip],
+                                     v_ref.at[slot, pl.ds(1, g_raw)],
+                                     sem.at[slot])
+
+    @pl.when(jnp.logical_and(bi == 0, t == 0))
+    def _first_clip():
+        # zero the pad edges of both slots once; they are never overwritten
+        for s in range(2):
+            v_ref[s, 0] = jnp.zeros_like(v_ref[s, 0])
+            if g_need - 1 - g_raw > 0:
+                v_ref[s, pl.ds(1 + g_raw, g_need - 1 - g_raw)] = jnp.zeros(
+                    (g_need - 1 - g_raw, 5, 128), v_ref.dtype)
+        _stage(0, 0).start()
+
+    @pl.when(t == 0)
+    def _rotate_buffers():
+        # clip bi's track was started earlier (or just above); wait for it,
+        # then prefetch clip bi+1 into the other slot so its DMA overlaps
+        # this clip's tiles
+        _stage(bi, bi % 2).wait()
+
+        @pl.when(bi + 1 < nb)
+        def _prefetch_next():
+            _stage(bi + 1, (bi + 1) % 2).start()
+
+    slot = bi % 2
     rows = FRAME_TILE // parity
     jt = t * rows
-    ev = [v_ref[0, pl.ds(jt + (q + 1) // 5, rows), (q + 1) % 5, :]
+    ev = [v_ref[slot, pl.ds(jt + (q + 1) // 5, rows), (q + 1) % 5, :]
           for q in range(8)]
     frames = jnp.concatenate(ev, axis=1)  # (rows, 1024)
     if parity == 2:
         od = []
         for q in range(8):
-            a = v_ref[0, pl.ds(jt + (3 + q) // 5, rows), (3 + q) % 5, :]
-            b = v_ref[0, pl.ds(jt + (4 + q) // 5, rows), (4 + q) % 5, :]
+            a = v_ref[slot, pl.ds(jt + (3 + q) // 5, rows), (3 + q) % 5, :]
+            b = v_ref[slot, pl.ds(jt + (4 + q) // 5, rows), (4 + q) % 5, :]
             od.append(jnp.concatenate([a[:, 64:], b[:, :64]], axis=1))
         frames = jnp.concatenate([frames, jnp.concatenate(od, axis=1)],
                                  axis=0)  # (128, 1024) [evens; odds]
@@ -225,9 +266,15 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
     n_frames = len_xe // hop + 1
     n_tiles = -(-n_frames // FRAME_TILE)
     g_need = rows * n_tiles + 2
-    total = g_need * GROUP
-    x = jnp.pad(wave, ((0, 0), (GROUP, total - GROUP - wave.shape[1])))
-    v = x.reshape(x.shape[0], g_need, 5, 128)
+    # whole-second 32 kHz clips divide evenly into 640-sample groups; only
+    # odd lengths pay an XLA pad (the kernel stages the track itself).
+    # ``wave`` itself stays unpadded — the edge-frame patch below needs the
+    # true signal end for its reflect pad.
+    wpad = wave
+    if wpad.shape[1] % GROUP:
+        wpad = jnp.pad(wpad, ((0, 0), (0, GROUP - wpad.shape[1] % GROUP)))
+    g_raw = min(wpad.shape[1] // GROUP, g_need - 1)
+    v = wpad[:, :g_raw * GROUP].reshape(wpad.shape[0], g_raw, 5, 128)
 
     if dft_precision is None:
         dft_precision = jax.lax.Precision.HIGHEST
@@ -244,16 +291,15 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
 
     b = v.shape[0]
     kernel = functools.partial(_mel_kernel, parity=parity, n_bins=n_bins,
-                               bf16x3=bf16x3, dft_precision=dft_precision)
+                               bf16x3=bf16x3, g_raw=g_raw,
+                               dft_precision=dft_precision)
     out = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[
-            # whole (padded) group track of one clip; the same block is
-            # revisited for all frame tiles of a batch row, so Pallas
-            # fetches it from HBM once per clip
-            pl.BlockSpec((1, g_need, 5, 128), lambda b, t: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            # raw unpadded track, whole array in HBM; the kernel DMAs one
+            # clip's track into VMEM scratch at the clip's first tile
+            pl.BlockSpec(memory_space=pltpu.ANY),
             *[pl.BlockSpec((n_fft, n_fft), lambda b, t: (0, 0),
                            memory_space=pltpu.VMEM) for _ in ops],
             pl.BlockSpec((n_bins, banks_t.shape[1]), lambda b, t: (0, 0),
@@ -264,6 +310,8 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_tiles * FRAME_TILE, banks_t.shape[1]),
                                        jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, g_need, 5, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )(v, *ops, banks_t)
 
     # patch the reflect-pad edge frames with the exact reference math

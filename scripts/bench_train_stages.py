@@ -1,0 +1,124 @@
+"""Where does the KD train step's time go? (mn10, B=120, device-chained.)
+
+Rows:
+- mel_train: training-mode mel (pallas kernel + jittered banks + masks)
+- fwd_only: model forward in train mode (on precomputed mel, incl. BN stats)
+- fwd_bwd: value_and_grad of the loss (no optimizer update)
+- full_step: the real train step (mel + mixup + fwd/bwd + Adam)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SR = 32000
+B = 120
+ITERS = 8
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(HERE, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from efficientat_tpu.models import MN, MNConfig
+    from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
+    from efficientat_tpu.ops.melspec import MelConfig
+    from efficientat_tpu.train.loop import (
+        LossConfig, TrainState, create_train_state, make_optimizer,
+        make_train_step, _model_forward, _task_loss,
+    )
+    from efficientat_tpu.train.schedules import (
+        exp_warmup_linear_down, per_epoch_schedule,
+    )
+
+    mel_cfg = MelConfig(freqm=48, timem=192)
+    model = MN(MNConfig())
+    sched = per_epoch_schedule(exp_warmup_linear_down(8, 95, 80, 0.01),
+                               8e-4, steps_per_epoch=833)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               make_optimizer(sched))
+    loss_cfg = LossConfig(kind="bce", mixup_alpha=0.3, kd_lambda=0.1)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "wave": rng.normal(size=(B, 10 * SR)).astype(np.float32) * 0.1,
+        "target": (rng.random((B, 527)) > 0.98).astype(np.float32),
+        "teacher": rng.random((B, 527)).astype(np.float32),
+        "teacher_valid": np.ones((B,), np.float32),
+    }
+    batch = jax.device_put(batch)
+    key = jax.random.PRNGKey(1)
+
+    def timed(body_fn, carry0, iters=ITERS):
+        @jax.jit
+        def run(n, carry0):
+            return jax.lax.fori_loop(0, n, body_fn, carry0)
+        jax.block_until_ready(run(2, carry0))
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(iters, carry0))
+        return (time.perf_counter() - t0) / iters
+
+    # mel (training mode)
+    def mel_body(i, acc):
+        m = log_mel_spectrogram_fused(batch["wave"] + i * 1e-7, mel_cfg,
+                                      training=True,
+                                      rng=jax.random.fold_in(key, i))
+        return acc + jnp.sum(m)
+    dt = timed(mel_body, jnp.float32(0.0))
+    print(json.dumps({"stage": "mel_train", "ms": round(dt * 1e3, 2)}), flush=True)
+
+    mel0 = jax.block_until_ready(jax.jit(
+        lambda w: log_mel_spectrogram_fused(w, mel_cfg, training=True, rng=key)
+    )(batch["wave"]))
+    x0 = mel0[..., None]
+
+    # forward only (train mode, mutable BN)
+    def fwd_body(i, acc):
+        logits, _, _ = _model_forward(model, state.params, state.batch_stats,
+                                      x0 + i * 1e-7, True, 1.0,
+                                      jax.random.fold_in(key, i))
+        return acc + jnp.sum(logits)
+    dt = timed(fwd_body, jnp.float32(0.0))
+    print(json.dumps({"stage": "fwd_only", "ms": round(dt * 1e3, 2)}), flush=True)
+
+    # forward+backward (no optimizer)
+    def loss_fn(params, x):
+        logits, _, new_stats = _model_forward(model, params, state.batch_stats,
+                                              x, True, 1.0, key)
+        loss, _ = _task_loss(loss_cfg, logits, batch, None, None)
+        return loss
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def bwd_body(i, acc):
+        loss, grads = grad_fn(state.params, x0 + i * 1e-7)
+        return acc + loss + jax.tree.leaves(grads)[0].ravel()[0]
+    dt = timed(bwd_body, jnp.float32(0.0))
+    print(json.dumps({"stage": "fwd_bwd", "ms": round(dt * 1e3, 2)}), flush=True)
+
+    # full step
+    train_step = make_train_step(model, mel_cfg, loss_cfg)
+
+    def full_body(i, carry):
+        st, _ = carry
+        st, m = train_step(st, batch, jax.random.fold_in(key, i),
+                           jnp.float32(1.0))
+        return st, m["train_loss"]
+    dt = timed(full_body, (state, jnp.float32(0.0)))
+    print(json.dumps({"stage": "full_step", "ms": round(dt * 1e3, 2),
+                      "clips_per_s": round(B / dt, 1)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,16 +51,26 @@ def measure(model, batch_size, tag, kd=False, iters=8):
         batch["teacher_valid"] = np.ones((batch_size,), np.float32)
     batch = jax.device_put(batch)
     key = jax.random.PRNGKey(1)
+    train_step = make_train_step(model, mel_cfg, loss_cfg)
     try:
+        # loop steps ON DEVICE: one dispatch, one scalar fetch (remote-TPU
+        # tunnel dispatch otherwise skews short steps)
+        @jax.jit
+        def run(state, batch, key, n):
+            def body(i, carry):
+                st, _ = carry
+                st, m = train_step(st, batch, jax.random.fold_in(key, i),
+                                   jnp.float32(1.0))
+                return st, m["train_loss"]
+            return jax.lax.fori_loop(0, n, body, (state, jnp.float32(0.0)))
+
         t0 = time.perf_counter()
-        state, m = jt(state, batch, key, jnp.float32(1.0))
-        float(m["train_loss"])
+        _, loss = run(state, batch, key, 2)
+        float(loss)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for i in range(iters):
-            key, sub = jax.random.split(key)
-            state, m = jt(state, batch, sub, jnp.float32(1.0))
-        total = float(m["train_loss"])
+        _, loss = run(state, batch, key, iters)
+        total = float(loss)
         dt = time.perf_counter() - t0
         assert np.isfinite(total)
         print(json.dumps({"case": tag, "batch": batch_size,

@@ -28,7 +28,7 @@ def test_pallas_supported_configs():
     assert not mel_pallas.pallas_supported(MelConfig(n_fft=2048))
 
 
-@pytest.mark.parametrize("n_samples,hop", [(32000, 320), (320000, 320), (64000, 640)])
+@pytest.mark.parametrize("n_samples,hop", [(32000, 320), (320000, 320), (64000, 640), (32100, 320), (65000, 640)])
 def test_fused_matches_xla_path(n_samples, hop):
     cfg = MelConfig(hopsize=hop)
     rng = np.random.default_rng(0)
