@@ -367,12 +367,14 @@ def log_mel_spectrogram_fused(
     over the batch axis; without it, auto falls back to XLA on >1 device.
 
     dft_precision defaults to "bf16x3" (3-pass split-operand GEMM): within
-    7e-5 max of the 6-pass fp32 HIGHEST on the normalized log-mel over
-    adversarial signals (deep spectral nulls, silence; the pre-emphasis
-    folding keeps the cancellation out of bf16) and ~1.2x faster
-    end-to-end — far tighter than the reference's own fp16-autocast STFT
+    7e-5 of fp32 on broadband signals and 1.6e-3 worst-case at deep
+    spectral nulls of pure tones (scripts/bench_mel_precision.py; the
+    pre-emphasis folding keeps its cancellation out of bf16), ~1.4x
+    faster — far tighter than the reference's own fp16-autocast STFT
     (ex_audioset.py:304). Pass ``jax.lax.Precision.HIGHEST`` for
-    bit-level parity work.
+    bit-level parity work (4e-5 vs a same-banks float64 oracle; the
+    residual vs a pure-float64 oracle is fp32 filterbank-construction
+    rounding shared with torchaudio, see bench_mel_precision.py).
     """
     from efficientat_tpu.ops.filterbank import kaldi_mel_banks
     from efficientat_tpu.ops.melspec import log_mel_spectrogram

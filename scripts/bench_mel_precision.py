@@ -7,6 +7,16 @@ DEFAULT = single-pass bf16) measures, at B=64 on the TPU:
   over three adversarial signal classes: real audio (demo clip), pure
   sines (deep spectral nulls between partials), and digital silence.
 
+Two error sources are reported separately:
+- vs the pure-float64 oracle (f64 bank construction): bounded at ~3e-2 by
+  FILTERBANK-CONSTRUCTION rounding — the narrowest low-frequency Kaldi
+  triangles cover only ~2 FFT bins, so fp32 mel-scale math shifts their
+  weights by ~0.3%. This is shared with the torch reference (torchaudio
+  builds banks in fp32 too) and is NOT a kernel error.
+- vs the same-fp32-banks oracle: isolates the DFT GEMM precision —
+  HIGHEST/bf16x3 sit at fp32-rounding level (~2e-5), single-pass bf16
+  is catastrophic at nulls.
+
 The catastrophic case the HIGHEST pin protects against is cancellation at
 spectral nulls: power ~ 0 computed as a difference of large cos/sin
 projections, then log()'d. The +1e-5 log floor bounds how much absolute
@@ -58,10 +68,12 @@ def make_waves():
     return waves
 
 
-def oracle_logmel(waves):
+def oracle_logmel(waves, banks=None):
     from test_melspec import oracle_mel_banks, oracle_power_stft
 
-    banks = oracle_mel_banks(128, 1024, SR, 0.0, 15000.0)
+    if banks is None:
+        banks = oracle_mel_banks(128, 1024, SR, 0.0, 15000.0)
+    banks = np.asarray(banks, np.float64)
     out = []
     for w in waves.astype(np.float64):
         x = w[1:] - 0.97 * w[:-1]
@@ -84,8 +96,9 @@ def main():
 
     cfg = MelConfig()
     waves = make_waves()
-    want = oracle_logmel(waves)
     banks = kaldi_mel_banks(128, 1024, SR, 0.0, 15000.0)
+    want = oracle_logmel(waves)                      # pure f64 (banks too)
+    want_fp32b = oracle_logmel(waves, np.asarray(banks))  # same fp32 banks
     wj = jnp.asarray(waves)
 
     for name, prec in [("HIGHEST", jax.lax.Precision.HIGHEST),
@@ -105,8 +118,10 @@ def main():
         t0 = time.perf_counter()
         float(run(wj, ITERS))
         dt = (time.perf_counter() - t0) / ITERS
+        err_dft = np.abs(got - want_fp32b)
         print(json.dumps({
             "precision": name,
+            "max_abs_err_same_banks": round(float(err_dft.max()), 8),
             "ms_per_batch": round(dt * 1e3, 3),
             "clips_per_s": round(BATCH / dt, 1),
             "max_abs_err": float(err.max()),
