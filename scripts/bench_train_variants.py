@@ -94,6 +94,10 @@ def main():
     from efficientat_tpu.models.dymn import DyMN, DyMNConfig
 
     which = sys.argv[1:] or ["dymn", "mn40", "mn40_remat"]
+    if "mn10_bf16" in which:
+        import jax.numpy as jnp
+        measure(MN(MNConfig(), dtype=jnp.bfloat16), 120,
+                "mn10 KD train step (bf16 compute)", kd=True)
     if "dymn" in which:
         measure(DyMN(DyMNConfig(t_max=1.0)), 64, "dymn10 train step (bce)")
     if "mn40" in which:
