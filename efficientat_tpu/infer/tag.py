@@ -30,6 +30,13 @@ class Tagger:
     pretrained: load + convert the reference checkpoint(s) (requires the .pt
         in ``resources/`` or network access). With ``pretrained=False`` the
         model is randomly initialized — useful for pipeline testing.
+    mesh: optional ``jax.sharding.Mesh``. With a ``("data", "model")`` mesh
+        (``parallel.make_mesh(n, model_axis=m)``) and an ensemble whose
+        members all share one architecture (e.g. the reference's 9x mn40,
+        README.md:113-116), members shard over the ``model`` axis and the
+        batch over ``data`` — per-chip parameter memory stays flat and the
+        only communication is one logit psum (parallel/ensemble.py).
+        Heterogeneous ensembles fall back to the replicated path.
     """
 
     def __init__(
@@ -40,6 +47,7 @@ class Tagger:
         dtype=jnp.float32,
         labels: Sequence[str] = AUDIOSET_LABELS,
         model_dir: str = "resources",
+        mesh=None,
     ):
         if isinstance(names, str):
             names = [names]
@@ -54,7 +62,7 @@ class Tagger:
                     f"{names[0]!r} uses {self.mel_cfg}, {name!r} uses {other}. "
                     "All members must share one mel config (reference "
                     "models/ensemble.py:25-33 feeds one spectrogram to all).")
-        for name in names:
+        for i, name in enumerate(names):
             if pretrained:
                 from efficientat_tpu.models.convert import load_pretrained
 
@@ -63,25 +71,54 @@ class Tagger:
             else:
                 model, spec = build_model(name, num_classes=num_classes, dtype=dtype)
                 variables = model.init(
-                    jax.random.PRNGKey(0),
+                    jax.random.PRNGKey(i),
                     jnp.zeros((1, self.mel_cfg.n_mels, 64, 1), jnp.float32))
                 warnings.warn(f"{name}: using random weights (pretrained=False)")
             self.members.append((model, variables))
         self._jitted: Dict[Tuple[int, int], callable] = {}
 
+        self.mesh = mesh
+        self._stacked = None
+        if mesh is not None and "model" in mesh.axis_names and len(self.members) > 1:
+            m0 = self.members[0][0]
+            same_arch = all(
+                type(m) is type(m0) and m.cfg == m0.cfg and m.dtype == m0.dtype
+                for m, _ in self.members)
+            if same_arch and len(self.members) % mesh.shape["model"] == 0:
+                from efficientat_tpu.parallel.ensemble import (
+                    shard_member_params, stack_member_params)
+
+                self._stacked = shard_member_params(
+                    stack_member_params([v for _, v in self.members]), mesh)
+
+    def _member_apply(self, model):
+        if isinstance(model, DyMN):
+            return lambda v, x: model.apply(v, x, False, model.cfg.t_max)[0]
+        return lambda v, x: model.apply(v, x)[0]
+
     def _make_fn(self):
         mel_cfg = self.mel_cfg
         members = self.members
+
+        if self._stacked is not None:
+            from efficientat_tpu.parallel.ensemble import (
+                make_member_parallel_ensemble)
+
+            ens = make_member_parallel_ensemble(
+                self._member_apply(members[0][0]), self.mesh, len(members))
+
+            def fn(stacked, waves):
+                mel = log_mel_spectrogram_fused(waves, mel_cfg, mesh=self.mesh)
+                return jax.nn.sigmoid(ens(stacked, mel[..., None]))
+
+            return fn
 
         def fn(variables_list, waves):
             mel = log_mel_spectrogram_fused(waves, mel_cfg)  # (B, n_mels, frames)
             x = mel[..., None]  # NHWC: (B, F, T, 1)
             logits_sum = None
             for (model, _), variables in zip(members, variables_list):
-                if isinstance(model, DyMN):
-                    out, _ = model.apply(variables, x, False, model.cfg.t_max)
-                else:
-                    out, _ = model.apply(variables, x)
+                out = self._member_apply(model)(variables, x)
                 logits_sum = out if logits_sum is None else logits_sum + out
             logits = logits_sum / len(members)
             return jax.nn.sigmoid(logits)
@@ -94,6 +131,11 @@ class Tagger:
         key = waves.shape
         if key not in self._jitted:
             self._jitted[key] = jax.jit(self._make_fn())
+        if self._stacked is not None:
+            from efficientat_tpu.parallel.mesh import shard_batch
+
+            waves = shard_batch({"w": jnp.asarray(waves)}, self.mesh)["w"]
+            return np.asarray(self._jitted[key](self._stacked, waves))
         variables_list = [v for _, v in self.members]
         return np.asarray(self._jitted[key](variables_list, waves))
 

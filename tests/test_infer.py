@@ -1,5 +1,7 @@
 """Inference path tests (Tagger, windowed tagging, CLI plumbing)."""
 
+import warnings
+
 import numpy as np
 import pytest
 
@@ -95,3 +97,30 @@ def test_ensemble_consistent_mel_configs_ok():
     probs = t.predict(np.zeros((1, 32000), np.float32))
     assert probs.shape == (1, 527)
     assert np.isfinite(probs).all()
+
+
+def test_tagger_member_parallel_mesh_matches_replicated():
+    """Same-arch ensemble with a (data, model) mesh == replicated path."""
+    from efficientat_tpu.parallel import make_mesh
+
+    names = ["mn05_as", "mn05_as"]
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ref = Tagger(names, pretrained=False)
+        par = Tagger(names, pretrained=False, mesh=make_mesh(4, model_axis=2))
+    assert par._stacked is not None  # member-parallel path engaged
+    waves = np.random.default_rng(0).normal(size=(4, 32000)).astype(np.float32) * 0.1
+    np.testing.assert_allclose(par.predict(waves), ref.predict(waves),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_tagger_heterogeneous_mesh_falls_back():
+    from efficientat_tpu.parallel import make_mesh
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        t = Tagger(["mn05_as", "mn10_as"], pretrained=False,
+                   mesh=make_mesh(4, model_axis=2))
+    assert t._stacked is None  # different widths -> replicated path
+    probs = t.predict(np.zeros((2, 32000), np.float32))
+    assert probs.shape == (2, 527)
