@@ -134,6 +134,12 @@ class Tagger:
         if self._stacked is not None:
             from efficientat_tpu.parallel.mesh import shard_batch
 
+            ddim = self.mesh.shape["data"]
+            if waves.shape[0] % ddim:
+                raise ValueError(
+                    f"batch {waves.shape[0]} must divide the mesh data axis "
+                    f"({ddim}) for member-parallel serving; pad the batch or "
+                    f"use a mesh with a smaller data axis")
             waves = shard_batch({"w": jnp.asarray(waves)}, self.mesh)["w"]
             return np.asarray(self._jitted[key](self._stacked, waves))
         variables_list = [v for _, v in self.members]
