@@ -150,7 +150,28 @@ def _run_rf(args):
     report_receptive_field(args.model_name)
 
 
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache (DyMN first-compiles run minutes;
+    subsequent runs hit the cache). Opt out with EATPU_NO_COMPILE_CACHE=1,
+    relocate with EATPU_COMPILE_CACHE_DIR."""
+    import os
+
+    if os.environ.get("EATPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache = os.environ.get(
+            "EATPU_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "eatpu_xla"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
+    _setup_compilation_cache()
     parser = argparse.ArgumentParser(prog="efficientat_tpu",
                                      description=__doc__,
                                      formatter_class=argparse.RawDescriptionHelpFormatter)

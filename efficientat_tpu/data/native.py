@@ -32,23 +32,30 @@ def build(quiet: bool = True) -> bool:
 
 
 _load_attempted = False
+_load_lock = __import__("threading").Lock()
 
 
 def load() -> Optional[ctypes.CDLL]:
     global _lib, _load_attempted
     if _lib is not None:
         return _lib
-    if _load_attempted:
-        return None
-    _load_attempted = True
-    if not os.path.exists(_SO_PATH) and not build():
-        return None  # no toolchain: callers fall back to pure-Python paths
-    lib = _bind(ctypes.CDLL(_SO_PATH))
-    if lib is None and build():
-        # stale library from an older source tree: rebuilt — reload
+    # serialized: loader worker threads race the first load, and a reader
+    # that merely saw _load_attempted=True mid-load must not conclude the
+    # library is absent (it would silently fall back for the whole process)
+    with _load_lock:
+        if _lib is not None:
+            return _lib
+        if _load_attempted:
+            return None
+        _load_attempted = True
+        if not os.path.exists(_SO_PATH) and not build():
+            return None  # no toolchain: callers fall back to pure-Python paths
         lib = _bind(ctypes.CDLL(_SO_PATH))
-    _lib = lib
-    return lib
+        if lib is None and build():
+            # stale library from an older source tree: rebuilt — reload
+            lib = _bind(ctypes.CDLL(_SO_PATH))
+        _lib = lib
+        return lib
 
 
 def _bind(lib: ctypes.CDLL) -> Optional[ctypes.CDLL]:
