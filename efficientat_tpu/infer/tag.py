@@ -134,14 +134,19 @@ class Tagger:
         if self._stacked is not None:
             from efficientat_tpu.parallel.mesh import shard_batch
 
+            # pad the batch to a multiple of the data axis (sharding
+            # requires even splits), run, slice the padding back off
+            n = waves.shape[0]
             ddim = self.mesh.shape["data"]
-            if waves.shape[0] % ddim:
-                raise ValueError(
-                    f"batch {waves.shape[0]} must divide the mesh data axis "
-                    f"({ddim}) for member-parallel serving; pad the batch or "
-                    f"use a mesh with a smaller data axis")
+            n_pad = (-n) % ddim
+            if n_pad:
+                waves = np.concatenate(
+                    [waves, np.zeros((n_pad,) + waves.shape[1:], waves.dtype)])
+                key = waves.shape
+                if key not in self._jitted:
+                    self._jitted[key] = jax.jit(self._make_fn())
             waves = shard_batch({"w": jnp.asarray(waves)}, self.mesh)["w"]
-            return np.asarray(self._jitted[key](self._stacked, waves))
+            return np.asarray(self._jitted[key](self._stacked, waves))[:n]
         variables_list = [v for _, v in self.members]
         return np.asarray(self._jitted[key](variables_list, waves))
 

@@ -112,6 +112,9 @@ def test_tagger_member_parallel_mesh_matches_replicated():
     waves = np.random.default_rng(0).normal(size=(4, 32000)).astype(np.float32) * 0.1
     np.testing.assert_allclose(par.predict(waves), ref.predict(waves),
                                rtol=2e-5, atol=2e-5)
+    # odd batch: auto-padded to the data axis, padding sliced back off
+    np.testing.assert_allclose(par.predict(waves[:3]), ref.predict(waves[:3]),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_tagger_heterogeneous_mesh_falls_back():

@@ -28,11 +28,13 @@ def test_pallas_supported_configs():
     assert not mel_pallas.pallas_supported(MelConfig(n_fft=2048))
 
 
-@pytest.mark.parametrize("n_samples,hop", [(32000, 320), (320000, 320), (64000, 640), (32100, 320), (65000, 640)])
-def test_fused_matches_xla_path(n_samples, hop):
+@pytest.mark.parametrize("n_samples,hop,batch", [
+    (32000, 320, 2), (320000, 320, 2), (64000, 640, 2),
+    (32100, 320, 2), (65000, 640, 2), (96000, 320, 1)])
+def test_fused_matches_xla_path(n_samples, hop, batch):
     cfg = MelConfig(hopsize=hop)
     rng = np.random.default_rng(0)
-    wave = rng.normal(size=(2, n_samples)).astype(np.float32) * 0.1
+    wave = rng.normal(size=(batch, n_samples)).astype(np.float32) * 0.1
     want = np.asarray(log_mel_spectrogram(wave, cfg, training=False))
     got = np.asarray(_fused_interpret(wave, cfg))
     assert got.shape == want.shape
