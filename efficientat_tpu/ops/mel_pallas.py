@@ -270,6 +270,15 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
     # odd lengths pay an XLA pad (the kernel stages the track itself).
     # ``wave`` itself stays unpadded — the edge-frame patch below needs the
     # true signal end for its reflect pad.
+    #
+    # Known floor: the 4D reshape below is a physical retiling copy at the
+    # pallas boundary (~0.9 ms/batch-64; XLA tiles (B, S) as 8 batch rows x
+    # 128 samples, the custom call wants default layout on (B, g, 5, 128),
+    # and the 5-sublane dim pads 8/5). Feeding the natural (B, S) layout
+    # and reshaping the DMA source ref in-kernel fails today: Mosaic
+    # requires tile-aligned memref slices, and selecting one clip from the
+    # batch-tiled layout is sub-tile (measured/attempted 2026-08; revisit
+    # if ref-reshape over batch-tiled HBM lands in Mosaic).
     wpad = wave
     if wpad.shape[1] % GROUP:
         wpad = jnp.pad(wpad, ((0, 0), (0, GROUP - wpad.shape[1] % GROUP)))
