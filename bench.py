@@ -227,11 +227,48 @@ def measure_cpu_baseline(n_clips=4) -> float:
     return cps
 
 
+def measure_mel_only() -> float:
+    """Fused mel kernel alone (B=64): ms per batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.ops.filterbank import kaldi_mel_banks
+    from efficientat_tpu.ops.mel_pallas import stft_log_mel_pallas
+    from efficientat_tpu.ops.melspec import MelConfig
+
+    cfg = MelConfig()
+    rng = np.random.default_rng(0)
+    waves = jnp.asarray(
+        rng.normal(size=(BATCH, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
+    banks = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, cfg.fmin,
+                            cfg.effective_fmax)
+
+    @jax.jit
+    def run(waves, n):
+        def body(i, acc):
+            mel = stft_log_mel_pallas(waves + i.astype(jnp.float32) * 1e-7,
+                                      banks, cfg, "bf16x3")
+            return acc + jnp.sum(mel)
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(run(waves, 2))
+    t0 = time.perf_counter()
+    total = float(run(waves, ITERS))
+    dt = (time.perf_counter() - t0) / ITERS
+    assert np.isfinite(total)
+    return dt * 1e3
+
+
 def main():
     _setup_jax_cache()
     mn_cps = measure_mn10()
     dymn_cps = measure_dymn10()
     kd_cps = measure_kd_train()
+    try:
+        mel_ms = round(measure_mel_only(), 3)
+    except Exception as e:
+        print(f"mel bench failed: {e}", file=sys.stderr)
+        mel_ms = None
     try:
         cpu_cps = measure_cpu_baseline()
         vs = mn_cps / cpu_cps
@@ -246,6 +283,7 @@ def main():
         "extra": {
             "dymn10_as_infer_clips_per_s": round(dymn_cps, 2),
             "kd_train_step_clips_per_s_b120": round(kd_cps, 2),
+            "fused_mel_ms_per_b64_batch": mel_ms,
         },
     }))
 
