@@ -227,3 +227,37 @@ def test_synthetic_teacher_store_is_process_stable():
     expected = np.random.default_rng(expected_seed).random((2, 527)).astype(np.float32)
     np.testing.assert_array_equal(rows, expected)
     np.testing.assert_array_equal(valid, np.ones(2, np.float32))
+
+
+def test_training_converges_on_separable_task():
+    """End-to-end learning signal: 30 steps on a class-separable synthetic
+    batch must reduce the BCE loss several-fold and fit the labels (the
+    other train tests only assert finite losses / moved params — this pins
+    that mel + model + loss + Adam actually LEARN together)."""
+    model = MN(MNConfig(width_mult=0.2, num_classes=4))
+    state = tiny_state(model, lr=2e-3)
+    train_step = make_train_step(
+        model, MEL, LossConfig(kind="bce", mixup_alpha=0.0))
+    jt = jax.jit(train_step)
+
+    # four tones, one per class — trivially separable from the log-mel
+    rng = np.random.default_rng(0)
+    t = np.arange(WAVE_LEN) / 32000.0
+    waves, targets = [], []
+    for i in range(8):
+        cls = i % 4
+        f0 = [300.0, 800.0, 2000.0, 5000.0][cls]
+        waves.append((0.3 * np.sin(2 * np.pi * f0 * t)
+                      + 0.01 * rng.normal(size=WAVE_LEN)).astype(np.float32))
+        onehot = np.zeros(4, np.float32)
+        onehot[cls] = 1.0
+        targets.append(onehot)
+    batch = {"wave": np.stack(waves), "target": np.stack(targets)}
+
+    losses = []
+    for step in range(30):
+        state, metrics = jt(state, batch, jax.random.PRNGKey(7),
+                            jnp.float32(1.0))
+        losses.append(float(metrics["train_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] / 3, (losses[0], losses[-1])
