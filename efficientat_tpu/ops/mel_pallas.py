@@ -256,6 +256,11 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
     from jax.experimental.pallas import tpu as pltpu
 
     assert pallas_supported(cfg), "unsupported mel config for the fused kernel"
+    # the edge-frame patch slices wave[:, -2048:] (needs S >= 2*n_fft) and
+    # the per-clip VMEM track scratch caps the upper end — same range the
+    # backend="auto" gate enforces; a direct call must not bypass it
+    assert 4096 <= wave.shape[1] <= 1_000_000, (
+        f"fused mel supports 4096..1_000_000 samples, got {wave.shape[1]}")
     n_fft, hop = cfg.n_fft, cfg.hopsize
     n_bins = n_fft // 2
     pad = n_fft // 2
@@ -308,7 +313,7 @@ def stft_log_mel_pallas(wave: jnp.ndarray, banks: jnp.ndarray,
         in_specs=[
             # raw unpadded track, whole array in HBM; the kernel DMAs one
             # clip's track into VMEM scratch at the clip's first tile
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             *[pl.BlockSpec((n_fft, n_fft), lambda b, t: (0, 0),
                            memory_space=pltpu.VMEM) for _ in ops],
             pl.BlockSpec((n_bins, banks_t.shape[1]), lambda b, t: (0, 0),
