@@ -18,7 +18,10 @@ DynamicConv lowering (dy_block.py:44-131), chosen by on-chip measurement
   depthwise conv, 14-30x faster than an unrolled shift-and-add, and —
   despite micro-bench wins for a channel-multiplier alternative — faster
   in-model at every shape (see ``_dynamic_depthwise_cm`` for the measured
-  negative result).
+  negative result). The fold is chunked at ``FOLD_CHUNK`` samples so conv
+  groups stop scaling with serving batch, and under a data-parallel mesh
+  it shard_maps over the batch so each device folds only its own shard
+  (see ``_dynamic_depthwise``).
 
 The DynamicConv softmax temperature anneals per epoch
 (dy_block.py:133-139); it is passed in as a traced scalar so changing it
@@ -144,7 +147,7 @@ def _dynamic_depthwise_cm(x, w, att, ks: int, stride: int, dilation: int):
     return jnp.einsum("bftck,bk->bftc", out, att)
 
 
-def _dynamic_depthwise(x, w, ks: int, stride: int, dilation: int):
+def _dynamic_depthwise_fold(x, w, ks: int, stride: int, dilation: int):
     """Depthwise conv with per-sample kernels as ONE grouped conv.
 
     x: (B, F, T, C); w: (B, ks, ks, C). Batch folds into the channel/lane
@@ -163,6 +166,66 @@ def _dynamic_depthwise(x, w, ks: int, stride: int, dilation: int):
         feature_group_count=b * c)
     fo, to = out.shape[1], out.shape[2]
     return jnp.transpose(out.reshape(fo, to, b, c), (2, 0, 1, 3))
+
+
+# Cap on how many samples one grouped-conv fold may merge. Past ~64 the
+# conv's feature_group_count (B*C) grows until XLA's grouped-conv emitter
+# degrades and dymn throughput REGRESSES with batch (B=64: 1844 clips/s,
+# B=256: 1288 — BENCH_r02 era). Chunking the fold at a fixed slice keeps
+# groups bounded while everything around it still sees one big batch.
+FOLD_CHUNK = 64
+
+
+def _fold_chunk(b: int, cap: int = None) -> int:
+    """Largest divisor of ``b`` not exceeding the chunk cap."""
+    c = min(b, cap or FOLD_CHUNK)
+    while b % c:
+        c -= 1
+    return c
+
+
+def _dynamic_depthwise_local(x, w, ks: int, stride: int, dilation: int):
+    """Single-device lowering: the grouped fold, chunked over the batch."""
+    b = x.shape[0]
+    c = _fold_chunk(b)
+    if c == b:
+        return _dynamic_depthwise_fold(x, w, ks, stride, dilation)
+    outs = [
+        _dynamic_depthwise_fold(x[i:i + c], w[i:i + c], ks, stride, dilation)
+        for i in range(0, b, c)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
+def _dynamic_depthwise(x, w, ks: int, stride: int, dilation: int):
+    """Per-sample depthwise conv, SPMD-safe under a data-parallel mesh.
+
+    The fold merges the batch axis into conv feature groups — fine on one
+    device, but under pjit with batch sharded ``P('data')`` the reshape
+    forces a cross-device regroup. When the train/eval steps publish their
+    mesh (parallel/spmd.py), the fold runs inside ``jax.shard_map`` over
+    the data axis so each device folds only its own batch shard — the
+    moral equivalent of the reference's per-process DDP fold
+    (models/dymn/dy_block.py:116-127 under ex_pl_audioset.py:287-296).
+    The surrounding 1x1 dynamic convs need no such treatment: they are
+    batched matmuls (``bni,bio->bno``) whose batch dim the partitioner
+    shards natively.
+    """
+    from efficientat_tpu.parallel.spmd import current_data_mesh
+
+    ctx = current_data_mesh()
+    if ctx is not None:
+        mesh, axis = ctx
+        n = mesh.shape[axis]
+        if n > 1 and x.shape[0] % n == 0:
+            from jax.sharding import PartitionSpec as P
+
+            fn = jax.shard_map(
+                lambda xs, ws: _dynamic_depthwise_local(xs, ws, ks, stride,
+                                                        dilation),
+                mesh=mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis))
+            return fn(x, w)
+    return _dynamic_depthwise_local(x, w, ks, stride, dilation)
 
 
 class ContextGen(nn.Module):

@@ -145,8 +145,10 @@ def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig,
     (state, metrics). ``batch`` holds host arrays: wave (B, T), target, and
     for KD teacher/teacher_valid."""
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array, temperature: jnp.ndarray):
+    from efficientat_tpu.parallel.spmd import data_parallel_lowering
+
+    def step_body(state: TrainState, batch: Dict[str, jnp.ndarray],
+                  rng: jax.Array, temperature: jnp.ndarray):
         r_mel, r_mix, r_style, r_drop = jax.random.split(
             jax.random.fold_in(rng, state.step), 4)
 
@@ -173,6 +175,12 @@ def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig,
         metrics = {"train_loss": loss, **aux}
         return state, metrics
 
+    def train_step(state, batch, rng, temperature):
+        # publish the mesh while tracing so SPMD-hostile lowerings
+        # (the dynamic depthwise fold) can localize to their batch shard
+        with data_parallel_lowering(mesh):
+            return step_body(state, batch, rng, temperature)
+
     return train_step
 
 
@@ -186,21 +194,28 @@ def make_eval_step(model, mel_cfg: MelConfig, mesh=None,
     exact-length mode (ex_fsd50k.py:73-77) to fp rounding.
     """
 
+    from efficientat_tpu.parallel.spmd import data_parallel_lowering
+
     if masked:
         def eval_step(state: TrainState, wave: jnp.ndarray,
                       temperature: jnp.ndarray, time_valid: jnp.ndarray):
-            mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False, mesh=mesh)
-            logits, _, _ = _model_forward(model, state.params, state.batch_stats,
-                                          mel[..., None], False, temperature,
-                                          time_valid=time_valid)
+            with data_parallel_lowering(mesh):
+                mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False,
+                                                mesh=mesh)
+                logits, _, _ = _model_forward(model, state.params,
+                                              state.batch_stats, mel[..., None],
+                                              False, temperature,
+                                              time_valid=time_valid)
             return logits
 
         return eval_step
 
     def eval_step(state: TrainState, wave: jnp.ndarray, temperature: jnp.ndarray):
-        mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False, mesh=mesh)
-        logits, _, _ = _model_forward(model, state.params, state.batch_stats,
-                                      mel[..., None], False, temperature)
+        with data_parallel_lowering(mesh):
+            mel = log_mel_spectrogram_fused(wave, mel_cfg, training=False,
+                                            mesh=mesh)
+            logits, _, _ = _model_forward(model, state.params, state.batch_stats,
+                                          mel[..., None], False, temperature)
         return logits
 
     return eval_step

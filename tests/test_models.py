@@ -209,6 +209,24 @@ def test_remat_is_numerically_transparent():
                                        rtol=1e-5, atol=1e-5)
 
 
+def test_dynamic_depthwise_chunked_equals_unchunked(monkeypatch):
+    """Chunking the grouped fold at FOLD_CHUNK samples (the serving
+    batch-cliff fix: conv groups stop scaling with B) must be bitwise
+    equivalent — each sample's depthwise conv is independent."""
+    from efficientat_tpu.models import dymn as dymn_mod
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(10, 8, 12, 16)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(10, 3, 3, 16)).astype(np.float32))
+    want = dymn_mod._dynamic_depthwise_fold(x, w, 3, 2, 1)
+    monkeypatch.setattr(dymn_mod, "FOLD_CHUNK", 4)
+    assert dymn_mod._fold_chunk(10) == 2  # largest divisor of 10 <= 4
+    got = dymn_mod._dynamic_depthwise_local(x, w, 3, 2, 1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert dymn_mod._fold_chunk(256) == 4
+    assert dymn_mod._fold_chunk(3) == 3
+
+
 @pytest.mark.parametrize("ks,stride,c", [(3, 2, 64), (3, 1, 480), (5, 2, 672)])
 def test_dynamic_depthwise_lowerings_agree(ks, stride, c):
     """The channel-multiplier form (static banks, mix outputs) must equal

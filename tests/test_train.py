@@ -162,6 +162,56 @@ def test_train_step_bce_kd_on_mesh():
     assert max(jax.tree.leaves(diff)) > 0
 
 
+def test_dymn_on_mesh_matches_single_device():
+    """DyMN under the 8-device data-parallel mesh must produce the same
+    logits and train loss as one device: the dynamic depthwise fold merges
+    batch into conv groups, which is only correct/fast per batch shard —
+    the shard_map lowering (models/dymn.py::_dynamic_depthwise) localizes
+    it. Mirrors the reference training dymn under DDP like any model
+    (ex_pl_audioset.py:287-296)."""
+    model = DyMN(DyMNConfig(width_mult=0.4, num_classes=10, t_max=1.0))
+    # SGD, not Adam: Adam normalizes by sqrt(v), so a float-epsilon grad
+    # difference (all-reduce summation order) flips the sign of near-zero
+    # updates and shows up as a spurious 2*lr param mismatch; with SGD the
+    # param delta stays proportional to the actual grad difference.
+    state = create_train_state(model, jax.random.PRNGKey(0), optax.sgd(1e-3),
+                               input_shape=(1, 128, MEL.num_frames(WAVE_LEN), 1))
+    loss_cfg = LossConfig(kind="bce", mixup_alpha=0.3, kd_lambda=0.1)
+
+    rng = np.random.default_rng(7)
+    batch = {
+        "wave": rng.normal(size=(8, WAVE_LEN)).astype(np.float32) * 0.1,
+        "target": (rng.random((8, 10)) > 0.8).astype(np.float32),
+        "teacher": rng.random((8, 10)).astype(np.float32),
+        "teacher_valid": np.ones((8,), np.float32),
+    }
+    temp = jnp.float32(1.0)
+    key = jax.random.PRNGKey(3)
+
+    # single device
+    ts1 = make_train_step(model, MEL, loss_cfg)
+    es1 = make_eval_step(model, MEL)
+    s1, m1 = jax.jit(ts1, donate_argnums=())(state, batch, key, temp)
+    logits1 = np.asarray(jax.jit(es1)(state, batch["wave"], temp))
+
+    # 8-device mesh
+    mesh = make_mesh(8)
+    jt, je = jit_steps(make_train_step(model, MEL, loss_cfg, mesh),
+                       make_eval_step(model, MEL, mesh), mesh,
+                       donate_state=False)
+    batch_m = shard_batch(batch, mesh)
+    state_m = replicate(state, mesh)
+    s8, m8 = jt(state_m, batch_m, key, temp)
+    logits8 = np.asarray(je(state_m, batch_m["wave"], temp))
+
+    np.testing.assert_allclose(logits8, logits1, rtol=1e-4, atol=1e-5)
+    assert abs(float(m8["train_loss"]) - float(m1["train_loss"])) < 1e-5
+    # updated params agree too (grad all-reduce == single-device grads)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_train_step_ce_and_masked_bce():
     model = MN(MNConfig(width_mult=0.4, num_classes=6))
     state = tiny_state(model)
@@ -227,6 +277,54 @@ def test_synthetic_teacher_store_is_process_stable():
     expected = np.random.default_rng(expected_seed).random((2, 527)).astype(np.float32)
     np.testing.assert_array_equal(rows, expected)
     np.testing.assert_array_equal(valid, np.ones(2, np.float32))
+
+
+def test_teacher_store_real_format(tmp_path):
+    """TeacherStore on the reference's actual on-disk KD format
+    (ex_audioset.py:104-118): a .npy of raw teacher LOGITS sharpened to
+    sigmoid(logits/T) at load, plus a pickled fname->row-index dict;
+    missing files get a zero row and valid=0, and a KD train step consumes
+    the lookup end-to-end."""
+    import pickle
+
+    from efficientat_tpu.train.kd import TeacherStore
+
+    rng = np.random.default_rng(2)
+    logits = rng.normal(size=(5, 10)).astype(np.float32) * 3.0
+    preds_path = str(tmp_path / "passt_logits.npy")
+    np.save(preds_path, logits)
+    index = {f"clip{i}": i for i in range(5)}
+    index_path = str(tmp_path / "fname_to_index.pkl")
+    with open(index_path, "wb") as f:
+        pickle.dump(index, f)
+
+    store = TeacherStore(preds_path, index_path, temperature=2.0)
+    assert store.num_classes == 10
+    rows, valid = store.lookup(["clip3", "missing", "clip0"])
+    expected3 = 1.0 / (1.0 + np.exp(-logits[3] / 2.0))
+    np.testing.assert_allclose(rows[0], expected3, rtol=1e-6)
+    np.testing.assert_array_equal(valid, [1.0, 0.0, 1.0])
+    np.testing.assert_array_equal(rows[1], np.zeros(10, np.float32))
+
+    # a miss must contribute zero soft loss: same batch, flip only the
+    # missing row's teacher content — loss must not change
+    model = MN(MNConfig(width_mult=0.4, num_classes=10))
+    state = tiny_state(model)
+    ts = jax.jit(make_train_step(
+        model, MEL, LossConfig(kind="bce", mixup_alpha=0.0, kd_lambda=0.1)),
+        donate_argnums=())
+    wave = np.random.default_rng(3).normal(size=(3, WAVE_LEN)).astype(np.float32)
+    target = (np.random.default_rng(4).random((3, 10)) > 0.8).astype(np.float32)
+    rows2 = rows.copy()
+    rows2[1] = 0.7  # garbage content on the missed row
+    key, temp = jax.random.PRNGKey(0), jnp.float32(1.0)
+    _, m1 = ts(state, {"wave": wave, "target": target, "teacher": rows,
+                       "teacher_valid": valid}, key, temp)
+    _, m2 = ts(state, {"wave": wave, "target": target, "teacher": rows2,
+                       "teacher_valid": valid}, key, temp)
+    assert np.isfinite(float(m1["train_loss"]))
+    assert abs(float(m1["train_loss"]) - float(m2["train_loss"])) < 1e-7
+    assert float(m1["distillation_loss"]) == float(m2["distillation_loss"])
 
 
 def test_training_converges_on_separable_task():
