@@ -101,10 +101,32 @@ def _add_complexity(sub):
     p.add_argument("--measure", choices=["macs", "memory"], default="macs")
     p.add_argument("--bits", type=int, default=16)
     p.add_argument("--clip_seconds", type=float, default=10.0)
+    # transformer mode: static PaSST/ViT-style MACs, no model needed
+    # (reference helpers/flop_count.py:72-162 counts its KD teacher)
+    p.add_argument("--transformer", action="store_true")
+    p.add_argument("--embed_dim", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--patch_size", type=int, default=16)
+    p.add_argument("--stride", type=int, default=10)
+    p.add_argument("--input_f", type=int, default=128)
+    p.add_argument("--input_t", type=int, default=998)
+    p.add_argument("--num_classes", type=int, default=527)
     p.set_defaults(fn=_run_complexity)
 
 
 def _run_complexity(args):
+    if args.transformer:
+        from efficientat_tpu.tools.macs import (
+            TransformerSpec, count_macs_transformer)
+
+        spec = TransformerSpec(
+            input_f=args.input_f, input_t=args.input_t,
+            embed_dim=args.embed_dim, depth=args.depth,
+            patch_size=args.patch_size, stride_f=args.stride,
+            stride_t=args.stride, num_classes=args.num_classes)
+        count_macs_transformer(spec, verbose=True)
+        return
+
     from efficientat_tpu.tools.complexity import report_complexity
 
     report_complexity(args.model_name, measure=args.measure, bits=args.bits,
@@ -141,13 +163,23 @@ def _run_profile(args):
 def _add_rf(sub):
     p = sub.add_parser("receptive-field", help="Analytic receptive field (freq/time)")
     p.add_argument("--model_name", type=str, default="mn10_as")
+    # manual MN configuration (reference receptive_field_cnn.py:26-35)
+    p.add_argument("--model_width", type=float, default=None)
+    p.add_argument("--head_type", type=str, default=None)
+    p.add_argument("--strides", nargs=4, type=int, default=None)
+    p.add_argument("--se_dims", type=str, default=None)
+    # or an arbitrary conv stack, e.g. --layers 3:2,3:1:2,5x3:2x1
+    p.add_argument("--layers", type=str, default=None,
+                   help="generic CNN spec k:s[:d],... ; fields may be fxt pairs")
     p.set_defaults(fn=_run_rf)
 
 
 def _run_rf(args):
     from efficientat_tpu.tools.receptive_field import report_receptive_field
 
-    report_receptive_field(args.model_name)
+    report_receptive_field(args.model_name, model_width=args.model_width,
+                           strides=args.strides, se_dims=args.se_dims,
+                           head_type=args.head_type, layers=args.layers)
 
 
 def _setup_compilation_cache():

@@ -258,6 +258,14 @@ def run_train(task_name: str, argv):
 
     n_dev = args.num_devices or len(jax.devices())
     mesh_size = math.gcd(math.gcd(args.batch_size, eval_bs), n_dev)
+    if mesh_size < n_dev:
+        # loud, not silent: the reference's DDP would crash on an uneven
+        # split; quietly training on fewer chips is a perf trap
+        warnings.warn(
+            f"data-parallel mesh shrunk to {mesh_size} of {n_dev} devices: "
+            f"batch_size={args.batch_size} and eval batch {eval_bs} must be "
+            f"divisible by the device count to use every device — pick a "
+            f"batch size divisible by {n_dev}")
     mesh = make_mesh(mesh_size)
     jt, je = jit_steps(make_train_step(model, mel_cfg, loss_cfg, mesh),
                        make_eval_step(model, mel_cfg, mesh,

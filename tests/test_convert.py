@@ -220,3 +220,53 @@ def test_every_registry_spec_converts_and_matches_init():
         tree_shapes_match(jax.tree.map(np.shape, fresh["batch_stats"]),
                           jax.tree.map(np.shape, variables["batch_stats"]),
                           path=name)
+
+
+def test_file_level_checkpoint_pipeline(tmp_path):
+    """The FULL on-disk checkpoint path, no network: torch.save a
+    reference-style state_dict under the registry filename in a tmp
+    MODEL_DIR, then load_pretrained (zip-format .pt parsing ->
+    checkpoint_classes -> convert) and Tagger.predict end-to-end, asserting
+    probability parity with the torch oracle on the same weights. The only
+    unproven step of real-checkpoint parity left is the download itself
+    (models/mn/model.py:282-313)."""
+    from efficientat_tpu.infer.tag import Tagger
+    from efficientat_tpu.models.convert import load_pretrained
+    from efficientat_tpu.models.registry import build_model, get_model_config
+    from efficientat_tpu.ops.melspec import log_mel_spectrogram
+
+    name = "mn04_as"
+    spec = get_model_config(name)
+    ref_model, _ = build_model(name)
+    sd = make_mn_state_dict(ref_model.cfg, seed=31)
+    model_dir = tmp_path / "resources"
+    model_dir.mkdir()
+    torch.save(sd, str(model_dir / spec.file))  # default zip format
+
+    model, variables, spec2 = load_pretrained(name, model_dir=str(model_dir))
+    assert spec2.file == spec.file
+    assert model.cfg.num_classes == 527
+
+    wave = (np.random.default_rng(32).normal(size=32000) * 0.1).astype(np.float32)
+    tagger = Tagger(name, pretrained=True, model_dir=str(model_dir))
+    probs = tagger.predict(wave[None])
+    assert probs.shape == (1, 527)
+
+    mel = np.asarray(log_mel_spectrogram(jnp.asarray(wave[None]), spec.mel_cfg))
+    with torch.no_grad():
+        want_logits, _ = torch_mn_forward(sd, torch.tensor(mel[:, None]),
+                                          ref_model.cfg)
+    want = torch.sigmoid(want_logits).numpy()
+    np.testing.assert_allclose(probs, want, rtol=1e-3, atol=1e-4)
+
+    # head surgery straight from the file: mismatched class count drops the
+    # final classifier and grafts a fresh init (models/mn/model.py:292-310)
+    model50, v50, _ = load_pretrained(name, num_classes=50,
+                                      model_dir=str(model_dir))
+    assert model50.cfg.num_classes == 50
+    logits50, _ = model50.apply(v50, jnp.asarray(mel[..., None]))
+    assert logits50.shape == (1, 50)
+    # the backbone transferred: hidden-layer weights equal the checkpoint's
+    hidden = np.asarray(v50["params"]["head"]["hidden"]["kernel"])
+    np.testing.assert_allclose(hidden, sd["classifier.2.weight"].numpy().T,
+                               rtol=1e-6)

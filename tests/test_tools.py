@@ -76,3 +76,132 @@ def test_complexity_report_runs(capsys):
     report_complexity("mn04_as", measure="memory")
     out = capsys.readouterr().out
     assert "peak memory" in out
+
+
+def test_transformer_macs_match_torch_hook_oracle():
+    """count_macs_transformer's static formula must reproduce what the
+    reference's hook-based counter (helpers/flop_count.py:72-162) measures
+    on an actual tiny PaSST-shaped torch model: patch-embed Conv2d, per
+    block a fused qkv Linear + attention (2*E*N^2) + proj + 2-layer MLP,
+    pooled classification head."""
+    import torch
+    import torch.nn as nn
+
+    from efficientat_tpu.tools.macs import TransformerSpec, count_macs_transformer
+
+    spec = TransformerSpec(input_f=32, input_t=50, embed_dim=16, depth=2,
+                           num_heads=2, patch_size=8, stride_f=4, stride_t=4,
+                           mlp_ratio=4.0, num_classes=5, extra_tokens=2)
+
+    class MultiHeadAttention(nn.Module):  # class NAME is what the hook keys on
+        def __init__(self, e):
+            super().__init__()
+            self.qkv = nn.Linear(e, 3 * e)
+            self.proj = nn.Linear(e, e)
+
+        def forward(self, x):
+            b, n, e = x.shape
+            q, k, v = self.qkv(x).chunk(3, dim=-1)
+            att = torch.softmax(q @ k.transpose(1, 2) / e ** 0.5, -1)
+            return self.proj(att @ v)
+
+    class Block(nn.Module):
+        def __init__(self, e, h):
+            super().__init__()
+            self.attn = MultiHeadAttention(e)
+            self.fc1, self.fc2 = nn.Linear(e, h), nn.Linear(h, e)
+
+        def forward(self, x):
+            x = x + self.attn(x)
+            return x + self.fc2(torch.relu(self.fc1(x)))
+
+    class TinyPasst(nn.Module):
+        def __init__(self, s):
+            super().__init__()
+            e = s.embed_dim
+            self.patch = nn.Conv2d(1, e, s.patch_size, (s.stride_f, s.stride_t))
+            self.tokens = nn.Parameter(torch.zeros(1, s.extra_tokens, e))
+            self.blocks = nn.ModuleList(
+                [Block(e, int(e * s.mlp_ratio)) for _ in range(s.depth)])
+            self.head = nn.Linear(e, s.num_classes)
+
+        def forward(self, x):
+            x = self.patch(x).flatten(2).transpose(1, 2)
+            x = torch.cat([self.tokens.expand(x.shape[0], -1, -1), x], 1)
+            for b in self.blocks:
+                x = b(x)
+            return self.head(x.mean(1))
+
+    model = TinyPasst(spec)
+    conv_macs, linear_macs, att_macs = [], [], []
+
+    def conv_hook(m, inp, out):
+        _, _, ho, wo = out.shape
+        kops = m.kernel_size[0] * m.kernel_size[1] * (m.in_channels // m.groups)
+        bops = 1 if m.bias is not None else 0
+        conv_macs.append(m.out_channels * (kops + bops) * ho * wo)
+
+    def linear_hook(m, inp, out):
+        wops = m.weight.nelement()
+        bops = m.bias.nelement() if m.bias is not None else 0
+        seq = inp[0].shape[1] if inp[0].dim() == 3 else 1
+        linear_macs.append((wops + bops) * seq)
+
+    def att_hook(m, inp, out):
+        _, n, e = inp[0].shape
+        att_macs.append(2 * e * n * n)
+
+    for m in model.modules():
+        if isinstance(m, nn.Conv2d):
+            m.register_forward_hook(conv_hook)
+        elif isinstance(m, nn.Linear):
+            m.register_forward_hook(linear_hook)
+        elif type(m).__name__ == "MultiHeadAttention":
+            m.register_forward_hook(att_hook)
+    with torch.no_grad():
+        model(torch.zeros(1, 1, spec.input_f, spec.input_t))
+
+    want = sum(conv_macs) + sum(linear_macs) + sum(att_macs)
+    assert count_macs_transformer(spec) == want
+
+
+def test_transformer_macs_passt_scale():
+    """PaSST-S defaults: seq len and total in the published ballpark."""
+    from efficientat_tpu.tools.macs import TransformerSpec, count_macs_transformer
+
+    s = TransformerSpec()
+    assert s.seq_len == 12 * 99 + 2
+    total = count_macs_transformer(s)
+    assert 100e9 < total < 160e9  # PaSST-S stride 10 is ~1.2e2 GMACs
+
+
+def test_receptive_field_generic_layers():
+    from efficientat_tpu.tools.receptive_field import (
+        parse_layer_spec, receptive_field_from_layers)
+
+    # single conv: rf == effective kernel
+    assert receptive_field_from_layers([(3, 1, 1)]) == (3, 3)
+    assert receptive_field_from_layers([(3, 1, 2)]) == (5, 5)
+    # classic: two stride-2 k3 convs -> rf 7
+    assert receptive_field_from_layers([(3, 2, 1), (3, 2, 1)]) == (7, 7)
+    # anisotropic via the parser
+    layers = parse_layer_spec("3x1:2x1,3:1:2")
+    assert layers == [((3, 1), (2, 1), 1), (3, 1, 2)]
+    rf_f, rf_t = receptive_field_from_layers(layers)
+    assert (rf_f, rf_t) == (2 * 5 + (3 - 2), 5)  # f: k3s2 over k3d2; t: k1 over k3d2
+    with pytest.raises(ValueError):
+        parse_layer_spec("3")
+
+
+def test_receptive_field_cli_manual_config(capsys):
+    """The reference receptive_field_cnn.py stride-study mode: manual
+    width/strides changes the reported RF."""
+    from efficientat_tpu.tools.receptive_field import report_receptive_field
+
+    rf_a = report_receptive_field("mn10_as", model_width=1.0,
+                                  strides=[2, 2, 2, 2])
+    rf_b = report_receptive_field("mn10_as", model_width=1.0,
+                                  strides=[1, 1, 1, 1])
+    out = capsys.readouterr().out
+    assert "strides [2, 2, 2, 2]" in out and "strides [1, 1, 1, 1]" in out
+    assert rf_b[0] < rf_a[0] and rf_b[1] < rf_a[1]

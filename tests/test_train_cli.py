@@ -45,6 +45,25 @@ def test_train_dcase_mixstyle_synthetic(tmp_path):
     assert int(state.step) == 2
 
 
+def test_mesh_shrink_warns_loudly(tmp_path):
+    """An odd batch size must not silently serialize onto fewer devices
+    (train/cli.py mesh-gcd logic): a loud warning states the effective
+    device count. With a divisible batch there is no warning."""
+    import warnings
+
+    base = ["--synthetic", "3", "--n_epochs", "1", "--model_width", "0.1",
+            "--num_workers", "1"]
+    with pytest.warns(UserWarning, match="mesh shrunk to 1 of 8"):
+        run_train("esc50", base + ["--batch_size", "3",
+                                   "--ckpt_dir", str(tmp_path / "a")])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        run_train("esc50", ["--synthetic", "2", "--batch_size", "2",
+                            "--n_epochs", "1", "--model_width", "0.1",
+                            "--num_workers", "1", "--num_devices", "2",
+                            "--ckpt_dir", str(tmp_path / "b")])
+
+
 def test_masked_pooling_full_length_equals_unmasked():
     import jax
     import jax.numpy as jnp
