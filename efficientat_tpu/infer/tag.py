@@ -48,6 +48,7 @@ class Tagger:
         labels: Sequence[str] = AUDIOSET_LABELS,
         model_dir: str = "resources",
         mesh=None,
+        max_device_batch: Optional[int] = None,
     ):
         if isinstance(names, str):
             names = [names]
@@ -77,6 +78,16 @@ class Tagger:
             self.members.append((model, variables))
         self._jitted: Dict[Tuple[int, int], callable] = {}
 
+        # DyMN serves fastest at a 64-clip micro-batch and tolerates at most
+        # two of them per compiled program (infer/microbatch.py); larger
+        # request batches are split into async device dispatches here.
+        if max_device_batch is None and any(
+                isinstance(m, DyMN) for m, _ in self.members):
+            from efficientat_tpu.infer.microbatch import DYMN_MAX_DEVICE_BATCH
+
+            max_device_batch = DYMN_MAX_DEVICE_BATCH
+        self.max_device_batch = max_device_batch
+
         self.mesh = mesh
         self._stacked = None
         if mesh is not None and "model" in mesh.axis_names and len(self.members) > 1:
@@ -93,7 +104,16 @@ class Tagger:
 
     def _member_apply(self, model):
         if isinstance(model, DyMN):
-            return lambda v, x: model.apply(v, x, False, model.cfg.t_max)[0]
+            # DyMN serves fastest at a fixed micro-batch; larger batches
+            # lax.map over chunks of it (see infer/microbatch.py)
+            from efficientat_tpu.infer.microbatch import (
+                DYMN_MICRO_BATCH, microbatched)
+
+            def apply(v, x):
+                fn = lambda xx: model.apply(v, xx, False, model.cfg.t_max)[0]
+                return microbatched(fn, DYMN_MICRO_BATCH)(x)
+
+            return apply
         return lambda v, x: model.apply(v, x)[0]
 
     def _make_fn(self):
@@ -129,7 +149,9 @@ class Tagger:
         """waves: (B, num_samples) float32 at mel_cfg.sr -> probs (B, classes)."""
         waves = np.atleast_2d(np.asarray(waves, dtype=np.float32))
         key = waves.shape
-        if key not in self._jitted:
+        mdb = self.max_device_batch
+        split = (self._stacked is None and mdb and waves.shape[0] > mdb)
+        if not split and key not in self._jitted:
             self._jitted[key] = jax.jit(self._make_fn())
         if self._stacked is not None:
             from efficientat_tpu.parallel.mesh import shard_batch
@@ -148,6 +170,22 @@ class Tagger:
             waves = shard_batch({"w": jnp.asarray(waves)}, self.mesh)["w"]
             return np.asarray(self._jitted[key](self._stacked, waves))[:n]
         variables_list = [v for _, v in self.members]
+        if split:
+            # host-side split into equal dispatches: pad to a multiple of
+            # mdb so one compiled program serves every chunk; dispatches
+            # queue asynchronously and pipeline on device
+            n = waves.shape[0]
+            n_pad = (-n) % mdb
+            if n_pad:
+                waves = np.concatenate(
+                    [waves, np.zeros((n_pad,) + waves.shape[1:], waves.dtype)])
+            ckey = (mdb,) + waves.shape[1:]
+            if ckey not in self._jitted:
+                self._jitted[ckey] = jax.jit(self._make_fn())
+            fn = self._jitted[ckey]
+            outs = [fn(variables_list, waves[i:i + mdb])
+                    for i in range(0, waves.shape[0], mdb)]
+            return np.concatenate([np.asarray(o) for o in outs])[:n]
         return np.asarray(self._jitted[key](variables_list, waves))
 
     def tag(self, path: str, top_k: int = 10) -> List[Tuple[str, float]]:

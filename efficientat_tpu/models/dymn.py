@@ -18,10 +18,11 @@ DynamicConv lowering (dy_block.py:44-131), chosen by on-chip measurement
   depthwise conv, 14-30x faster than an unrolled shift-and-add, and —
   despite micro-bench wins for a channel-multiplier alternative — faster
   in-model at every shape (see ``_dynamic_depthwise_cm`` for the measured
-  negative result). The fold is chunked at ``FOLD_CHUNK`` samples so conv
-  groups stop scaling with serving batch, and under a data-parallel mesh
-  it shard_maps over the batch so each device folds only its own shard
-  (see ``_dynamic_depthwise``).
+  negative result). Under a data-parallel mesh the fold shard_maps over
+  the batch so each device folds only its own shard (see
+  ``_dynamic_depthwise``); large serving batches are micro-batched at the
+  model level instead (infer/microbatch.py — see the batch-scaling note
+  above ``_dynamic_depthwise_local``).
 
 The DynamicConv softmax temperature anneals per epoch
 (dy_block.py:133-139); it is passed in as a traced scalar so changing it
@@ -168,33 +169,18 @@ def _dynamic_depthwise_fold(x, w, ks: int, stride: int, dilation: int):
     return jnp.transpose(out.reshape(fo, to, b, c), (2, 0, 1, 3))
 
 
-# Cap on how many samples one grouped-conv fold may merge. Past ~64 the
-# conv's feature_group_count (B*C) grows until XLA's grouped-conv emitter
-# degrades and dymn throughput REGRESSES with batch (B=64: 1844 clips/s,
-# B=256: 1288 — BENCH_r02 era). Chunking the fold at a fixed slice keeps
-# groups bounded while everything around it still sees one big batch.
-FOLD_CHUNK = 64
-
-
-def _fold_chunk(b: int, cap: int = None) -> int:
-    """Largest divisor of ``b`` not exceeding the chunk cap."""
-    c = min(b, cap or FOLD_CHUNK)
-    while b % c:
-        c -= 1
-    return c
-
-
+# Batch scaling note (measured 2026-08-17, scripts/probe_dymn_batch.py):
+# dymn10 per-clip cost REGRESSES from B=64 to B=256 (505 -> 778 us model-
+# only) even though every constituent op IMPROVES with batch in isolation
+# (the fold k3s2 C64: 78.7 -> 66.4 us/clip; pointwise einsum 19.5 -> 8.4;
+# mel 88.6 -> 64.6; no_dyconv model 153 -> 105). Chunking the fold itself
+# at a 64-sample slice was tried and is 5-20% SLOWER at every shape — the
+# cliff is a composition effect around the dynamic convs, not conv group
+# count. Serving therefore micro-batches the MODEL at its measured best
+# batch (infer/microbatch.py) instead of lowering tricks here.
 def _dynamic_depthwise_local(x, w, ks: int, stride: int, dilation: int):
-    """Single-device lowering: the grouped fold, chunked over the batch."""
-    b = x.shape[0]
-    c = _fold_chunk(b)
-    if c == b:
-        return _dynamic_depthwise_fold(x, w, ks, stride, dilation)
-    outs = [
-        _dynamic_depthwise_fold(x[i:i + c], w[i:i + c], ks, stride, dilation)
-        for i in range(0, b, c)
-    ]
-    return jnp.concatenate(outs, axis=0)
+    """Single-device lowering of the per-sample depthwise conv."""
+    return _dynamic_depthwise_fold(x, w, ks, stride, dilation)
 
 
 def _dynamic_depthwise(x, w, ks: int, stride: int, dilation: int):

@@ -645,12 +645,22 @@ void alias_reduce(double* xr, const Granule& g) {
 
 struct ChannelState {
     double overlap[32][18] = {};
+    // V ring buffer: logical v[j] == v[(v_pos + j) & 1023]. The classic
+    // shift-by-64 becomes a 64-slot rewind of v_pos — the 960-double
+    // memmove per time slot (17 KB x 18 per granule) goes away. All slice
+    // starts stay multiples of 32 and 1024 % 32 == 0, so no 32-double
+    // chunk ever wraps the ring.
     double v[1024] = {};
+    int v_pos = 0;
 
     // xr (576,) -> 18 time slots x 32 subbands, then polyphase synthesis.
+    // Hot loops are laid out for the autovectorizer: the subband samples
+    // are stored time-major (ts_t[t][sb] contiguous over sb) so the
+    // 64x32 matrixing reads unit-stride, and the window MAC accumulates
+    // 32 outputs in parallel over contiguous rows.
     void granule_to_pcm(const double* xr, const Granule& g, float* out) {
         const Tables& T = tables();
-        double ts[32][18];
+        double ts_t[18][32];
         for (int sb = 0; sb < 32; sb++) {
             const double* spec = xr + 18 * sb;
             int bt = g.block_type;
@@ -673,33 +683,38 @@ struct ChannelState {
                     blk[i] = acc * T.win[bt][i];
                 }
             }
+            const bool flip = sb & 1;
             for (int i = 0; i < 18; i++) {
-                ts[sb][i] = blk[i] + overlap[sb][i];
+                double s = blk[i] + overlap[sb][i];
                 overlap[sb][i] = blk[18 + i];
+                ts_t[i][sb] = (flip && (i & 1)) ? -s : s;
             }
-            if (sb & 1)
-                for (int i = 1; i < 18; i += 2) ts[sb][i] = -ts[sb][i];
         }
         for (int t = 0; t < 18; t++) {
-            // shift V by 64
-            std::memmove(v + 64, v, 960 * sizeof(double));
+            v_pos = (v_pos + 1024 - 64) & 1023;
+            double* slot = v + v_pos;  // [v_pos, v_pos+64) never wraps
+            const double* s = ts_t[t];
             for (int i = 0; i < 64; i++) {
+                const double* m = T.nmat[i];
                 double acc = 0.0;
-                for (int k = 0; k < 32; k++) acc += T.nmat[i][k] * ts[k][t];
-                v[i] = acc;
+                for (int k = 0; k < 32; k++) acc += m[k] * s[k];
+                slot[i] = acc;
             }
             double u[512];
             for (int j = 0; j < 8; j++) {
-                std::memcpy(u + j * 64, v + j * 128, 32 * sizeof(double));
-                std::memcpy(u + j * 64 + 32, v + j * 128 + 96,
+                std::memcpy(u + j * 64, v + ((v_pos + j * 128) & 1023),
+                            32 * sizeof(double));
+                std::memcpy(u + j * 64 + 32,
+                            v + ((v_pos + j * 128 + 96) & 1023),
                             32 * sizeof(double));
             }
-            for (int j = 0; j < 32; j++) {
-                double acc = 0.0;
-                for (int i = 0; i < 16; i++)
-                    acc += u[j + 32 * i] * T.dwin[j + 32 * i];
-                out[t * 32 + j] = (float)acc;
+            double acc[32] = {};
+            for (int i = 0; i < 16; i++) {
+                const double* up = u + 32 * i;
+                const double* wp = T.dwin + 32 * i;
+                for (int j = 0; j < 32; j++) acc[j] += up[j] * wp[j];
             }
+            for (int j = 0; j < 32; j++) out[t * 32 + j] = (float)acc[j];
         }
     }
 };

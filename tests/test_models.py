@@ -209,22 +209,26 @@ def test_remat_is_numerically_transparent():
                                        rtol=1e-5, atol=1e-5)
 
 
-def test_dynamic_depthwise_chunked_equals_unchunked(monkeypatch):
-    """Chunking the grouped fold at FOLD_CHUNK samples (the serving
-    batch-cliff fix: conv groups stop scaling with B) must be bitwise
-    equivalent — each sample's depthwise conv is independent."""
-    from efficientat_tpu.models import dymn as dymn_mod
+def test_microbatched_apply_equals_full_batch():
+    """Model-level micro-batching (the DyMN serving batch-cliff fix,
+    infer/microbatch.py) must be numerically identical to one full-batch
+    apply, and fall through on non-dividing or small batches."""
+    from efficientat_tpu.infer.microbatch import microbatched
 
-    rng = np.random.default_rng(1)
-    x = jnp.asarray(rng.normal(size=(10, 8, 12, 16)).astype(np.float32))
-    w = jnp.asarray(rng.normal(size=(10, 3, 3, 16)).astype(np.float32))
-    want = dymn_mod._dynamic_depthwise_fold(x, w, 3, 2, 1)
-    monkeypatch.setattr(dymn_mod, "FOLD_CHUNK", 4)
-    assert dymn_mod._fold_chunk(10) == 2  # largest divisor of 10 <= 4
-    got = dymn_mod._dynamic_depthwise_local(x, w, 3, 2, 1)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    assert dymn_mod._fold_chunk(256) == 4
-    assert dymn_mod._fold_chunk(3) == 3
+    model = DyMN(DyMNConfig(width_mult=0.4, num_classes=7, t_max=1.0))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(8, 128, 32, 1)),
+                    jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), x[:1])
+    fn = lambda xx: model.apply(v, xx, False, 1.0)[0]
+    want = np.asarray(fn(x))
+    got = np.asarray(jax.jit(microbatched(fn, 4))(x))  # 2 chunks of 4
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+    # batch 8 over micro-batch 3 does not divide -> one full apply;
+    # micro-batch 2 would need 4 chunks (> the measured 2-body-per-program
+    # limit) -> also falls through to one full apply
+    np.testing.assert_array_equal(np.asarray(microbatched(fn, 3)(x)), want)
+    np.testing.assert_array_equal(np.asarray(microbatched(fn, 2)(x)), want)
+    assert microbatched(fn, None) is fn
 
 
 @pytest.mark.parametrize("ks,stride,c", [(3, 2, 64), (3, 1, 480), (5, 2, 672)])
