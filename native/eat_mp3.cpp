@@ -151,8 +151,34 @@ const Tables& tables() {
 struct Bits {
     const uint8_t* data;
     int64_t nbits;
+    int64_t nbytes;
     int64_t pos = 0;
-    Bits(const uint8_t* d, int64_t nbytes) : data(d), nbits(nbytes * 8) {}
+    Bits(const uint8_t* d, int64_t nb) : data(d), nbits(nb * 8), nbytes(nb) {}
+
+    // Peek up to 24 bits, zero-padded past the end (same semantics the
+    // bit-by-bit reader had: reads beyond the buffer return 0 bits).
+    uint32_t peek(int n) const {
+        int64_t by = pos >> 3;
+        int off = pos & 7;
+        uint64_t w;
+        if (by + 8 <= nbytes) {  // one unaligned load + byte swap
+            std::memcpy(&w, data + by, 8);
+#if defined(__GNUC__) || defined(__clang__)
+            w = __builtin_bswap64(w);
+#else
+            w = ((w & 0xffull) << 56) | ((w & 0xff00ull) << 40)
+              | ((w & 0xff0000ull) << 24) | ((w & 0xff000000ull) << 8)
+              | ((w >> 8) & 0xff000000ull) | ((w >> 24) & 0xff0000ull)
+              | ((w >> 40) & 0xff00ull) | (w >> 56);
+#endif
+        } else {
+            w = 0;
+            for (int i = 0; i < 8; i++)
+                w = (w << 8) | (by + i < nbytes ? (uint64_t)data[by + i] : 0);
+        }
+        return (uint32_t)((w << off) >> (64 - n));
+    }
+
     int get1() {
         if (pos >= nbits) { pos++; return 0; }
         int v = (data[pos >> 3] >> (7 - (pos & 7))) & 1;
@@ -160,10 +186,16 @@ struct Bits {
         return v;
     }
     uint32_t get(int n) {
-        uint32_t v = 0;
-        for (int i = 0; i < n; i++) v = (v << 1) | get1();
+        if (n == 0) return 0;
+        uint32_t v = peek(n);
+        pos += n;
         return v;
     }
+    // Trie walk, one bit at a time. A 10-bit first-level LUT decode was
+    // measured SLOWER here (77 vs 92 clips/s on the 64 kbps bench clip):
+    // at audio-tagging bitrates most symbols are 1-3 bit codes, which the
+    // trie resolves in a couple of single-byte loads, while the LUT pays
+    // a 64-bit unaligned window load per symbol and 68 KB of tables.
     int huff(const HuffTable& t) {
         int node = 0;
         for (int depth = 0; depth < 20; depth++) {
@@ -643,6 +675,55 @@ void alias_reduce(double* xr, const Granule& g) {
 
 // --------------------------------------------------- IMDCT + synthesis
 
+// Fast matrixing: v[i] = F(s, 32, 16+i) where
+//   F(s, N, m) = sum_{k<N} s[k] * cos(m * (2k+1) * pi / (2N)).
+// Computed by the even/odd recursion (Lee's DCT decomposition, applied to
+// the full period in m): even m halve directly, odd m divide by 2*cos of
+// the butterfly angle and split into two even evaluations. Templated on N
+// so the depth-5 recursion fully inlines into straight-line code: ~62
+// multiplies instead of the naive 64x32 = 2048.
+//   F(s,N,2r)   = F(a, N/2, r),            a[k] = s[k] + s[N-1-k]
+//   F(s,N,odd m)= F(u,N/2,(m+1)/2) + F(u,N/2,(m-1)/2),
+//                 u[k] = (s[k] - s[N-1-k]) / (2 cos((2k+1)pi/(2N)))
+// Outputs one full period in m (4N entries); children have period 2N.
+template <int N>
+struct DctPeriod {
+    static inline void run(const double* s, double* out /* 4N */) {
+        constexpr int H = N / 2;
+        double a[H], u[H], ga[2 * N], gu[2 * N];
+        for (int k = 0; k < H; k++) {
+            a[k] = s[k] + s[N - 1 - k];
+            u[k] = (s[k] - s[N - 1 - k]) * half_sec(k);
+        }
+        DctPeriod<H>::run(a, ga);
+        DctPeriod<H>::run(u, gu);
+        constexpr int P = 2 * N;  // child period
+        for (int m = 0; m < 4 * N; m += 2) {
+            out[m] = ga[(m / 2) % P];
+            const int mo = m + 1;
+            out[mo] = gu[((mo + 1) / 2) % P] + gu[((mo - 1) / 2) % P];
+        }
+    }
+    static inline double half_sec(int k) {
+        static const struct Tab {
+            double v[N / 2];
+            Tab() {
+                for (int k = 0; k < N / 2; k++)
+                    v[k] = 0.5 / std::cos((2 * k + 1) * 3.14159265358979323846
+                                          / (2.0 * N));
+            }
+        } tab;
+        return tab.v[k];
+    }
+};
+
+template <>
+struct DctPeriod<1> {
+    static inline void run(const double* s, double* out /* 4 */) {
+        out[0] = s[0]; out[1] = 0.0; out[2] = -s[0]; out[3] = 0.0;
+    }
+};
+
 struct ChannelState {
     double overlap[32][18] = {};
     // V ring buffer: logical v[j] == v[(v_pos + j) & 1023]. The classic
@@ -694,12 +775,10 @@ struct ChannelState {
             v_pos = (v_pos + 1024 - 64) & 1023;
             double* slot = v + v_pos;  // [v_pos, v_pos+64) never wraps
             const double* s = ts_t[t];
-            for (int i = 0; i < 64; i++) {
-                const double* m = T.nmat[i];
-                double acc = 0.0;
-                for (int k = 0; k < 32; k++) acc += m[k] * s[k];
-                slot[i] = acc;
-            }
+            double f[128];  // F(s, 32, m) over one full period in m
+            DctPeriod<32>::run(s, f);
+            // v[i] = nmat[i] . s = F(s, 32, 16+i); 16+63 < 128, no wrap
+            std::memcpy(slot, f + 16, 64 * sizeof(double));
             double u[512];
             for (int j = 0; j < 8; j++) {
                 std::memcpy(u + j * 64, v + ((v_pos + j * 128) & 1023),
