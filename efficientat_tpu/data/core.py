@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import queue
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Callable, Dict, List, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -265,11 +265,24 @@ class Loader:
     """
 
     def __init__(self, dataset: Dataset, batch_size: int, sampler=None,
-                 num_threads: int = 8, drop_last: bool = False, seed: int = 0,
-                 prefetch: int = 4, collate_fn=None):
+                 num_threads: Optional[int] = None, drop_last: bool = False,
+                 seed: int = 0, prefetch: int = 4, collate_fn=None):
+        # batch pipelines allocate large fresh buffers every step; on
+        # lazily-backed VM RAM a THP first-touch costs ~90x (utils/host.py)
+        from efficientat_tpu.utils.host import disable_thp_first_touch
+
+        disable_thp_first_touch()
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler or SequentialSampler(len(dataset))
+        if num_threads is None:
+            # decode is CPU-bound (GIL released in h5py/numpy/native decode):
+            # more threads than cores only adds GIL/scheduler contention —
+            # measured 2-4x WORSE on a 1-core host (16 -> 45 clips/s going
+            # 4 threads -> 1). One thread still overlaps decode with the
+            # consumer's device dispatch.
+            import os
+            num_threads = min(8, os.cpu_count() or 1)
         self.num_threads = num_threads
         self.drop_last = drop_last
         self.seed = seed

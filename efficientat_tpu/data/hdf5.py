@@ -41,7 +41,7 @@ def pad_or_truncate(x: np.ndarray, audio_length: Optional[int],
         return x
     if len(x) <= audio_length:
         return np.concatenate(
-            [x, np.zeros(audio_length - len(x), dtype=np.float32)])
+            [x, np.zeros(audio_length - len(x), dtype=x.dtype)])
     if random_offset and rng is not None:
         off = int(rng.integers(0, len(x) - audio_length + 1))
         return x[off:off + audio_length]
@@ -72,7 +72,18 @@ class _BaseHdf5Dataset(Dataset):
     def __init__(self, hdf5_path: str, sample_rate: int = 32000,
                  clip_length_seconds: Optional[float] = 10.0,
                  resample_rate: int = 32000, gain_augment: int = 0,
-                 num_classes: Optional[int] = None, random_offset_crop: bool = False):
+                 num_classes: Optional[int] = None, random_offset_crop: bool = False,
+                 int16_waves: bool = False):
+        # int16_waves: yield waves as int16 PCM instead of float32 — HALF
+        # the host->device bytes; the train step dequantizes on device
+        # (train/loop.py). Exact for int16 PCM sources; for mp3 sources the
+        # requantization error (<=3e-5) is far below the codec noise floor.
+        # Incompatible with host-side float augments (gain).
+        if int16_waves and gain_augment:
+            raise ValueError("int16_waves cannot be combined with "
+                             "gain_augment (a host-side float augment); "
+                             "leave waves float32 for gain-augmented tasks")
+        self.int16_waves = int16_waves
         self.h5 = _LazyH5(hdf5_path)
         self.sample_rate = sample_rate
         self.resample_rate = resample_rate
@@ -112,6 +123,13 @@ class _BaseHdf5Dataset(Dataset):
             name = name[1:]
         target = _unpack_target(f["target"][index],
                                 self.num_classes or 0) if "target" in f else None
+        if self.int16_waves:
+            if wave.dtype != np.int16:
+                wave = np.clip(wave * 32768.0, -32768, 32767).astype(np.int16)
+            item = {"wave": wave, "fname": name}
+            if target is not None:
+                item["target"] = target
+            return item
         item = {"wave": wave.astype(np.float32), "fname": name}
         if target is not None:
             item["target"] = target
@@ -135,6 +153,8 @@ class PCMHdf5Dataset(_BaseHdf5Dataset):
     def _decode(self, index):
         pcm = np.asarray(self.h5.file["pcm"][index])
         if pcm.dtype == np.int16:
+            if self.int16_waves:  # skip the host float conversion entirely
+                return pcm
             return (pcm / 32768.0).astype(np.float32)
         return pcm.astype(np.float32)
 

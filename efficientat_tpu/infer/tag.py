@@ -77,6 +77,13 @@ class Tagger:
                 warnings.warn(f"{name}: using random weights (pretrained=False)")
             self.members.append((model, variables))
         self._jitted: Dict[Tuple[int, int], callable] = {}
+        # staged transfers: device_put/jnp.asarray from a caller's fresh
+        # buffer is up to 80x slower on remote-device runtimes (per-mapping
+        # registration — see data/staging.py); serving traffic is exactly
+        # the repeated-fresh-buffer pattern
+        from efficientat_tpu.data.staging import HostStagingPool
+
+        self._staging = HostStagingPool()
 
         # DyMN serves fastest at a 64-clip micro-batch and tolerates at most
         # two of them per compiled program (infer/microbatch.py); larger
@@ -167,7 +174,9 @@ class Tagger:
                 key = waves.shape
                 if key not in self._jitted:
                     self._jitted[key] = jax.jit(self._make_fn())
-            waves = shard_batch({"w": jnp.asarray(waves)}, self.mesh)["w"]
+            from efficientat_tpu.parallel.mesh import data_sharding
+
+            waves = self._staging.put(waves, data_sharding(self.mesh))
             return np.asarray(self._jitted[key](self._stacked, waves))[:n]
         variables_list = [v for _, v in self.members]
         if split:
@@ -183,10 +192,11 @@ class Tagger:
             if ckey not in self._jitted:
                 self._jitted[ckey] = jax.jit(self._make_fn())
             fn = self._jitted[ckey]
-            outs = [fn(variables_list, waves[i:i + mdb])
+            outs = [fn(variables_list, self._staging.put(waves[i:i + mdb]))
                     for i in range(0, waves.shape[0], mdb)]
             return np.concatenate([np.asarray(o) for o in outs])[:n]
-        return np.asarray(self._jitted[key](variables_list, waves))
+        return np.asarray(self._jitted[key](variables_list,
+                                            self._staging.put(waves)))
 
     def tag(self, path: str, top_k: int = 10) -> List[Tuple[str, float]]:
         """Decode an audio file and return the top-k (label, prob) pairs."""

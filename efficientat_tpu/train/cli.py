@@ -36,6 +36,10 @@ def _build_parser(spec):
     p.add_argument("--remat", action="store_true", default=False,
                    help="rematerialize block activations in backward "
                         "(jax.checkpoint): big widths / batches on one chip")
+    p.add_argument("--int16_waves", action="store_true", default=False,
+                   help="transport waves host->device as int16 PCM (half "
+                        "the transfer bytes; dequantized on device). "
+                        "Incompatible with wavmix/gain_augment")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--keep_checkpoints", type=int, default=1)
     p.add_argument("--experiment_name", type=str, default=None)
@@ -95,7 +99,10 @@ def _build_model(spec, args, dtype):
 
 
 def _prepare_batch(batch, spec, teacher):
-    out = {"wave": batch["wave"].astype(np.float32)}
+    wave = batch["wave"]
+    # int16 waves transfer as-is (half the bytes) and dequantize on device
+    out = {"wave": wave if wave.dtype == np.int16
+           else wave.astype(np.float32)}
     target = batch["target"]
     if spec.loss_kind == "ce" and np.asarray(target).ndim == 1:
         out["target"] = np.asarray(target, np.int32)
@@ -165,9 +172,13 @@ def run_train(task_name: str, argv):
     import jax
     import jax.numpy as jnp
 
+    from efficientat_tpu.utils.host import disable_thp_first_touch
+
+    disable_thp_first_touch()  # see utils/host.py: ~90x on lazy VM RAM
+
     from efficientat_tpu.data.core import Loader
     from efficientat_tpu.models.dymn import DyMN
-    from efficientat_tpu.parallel import make_mesh, shard_batch
+    from efficientat_tpu.parallel import make_mesh
     from efficientat_tpu.parallel.mesh import replicate
     from efficientat_tpu.train.loop import (
         LossConfig, create_train_state, jit_steps, make_eval_step,
@@ -275,6 +286,13 @@ def run_train(task_name: str, argv):
     logger = MetricsLogger(args.experiment_name or f"efficientat-{task_name}",
                            config=vars(args))
     rng = jax.random.PRNGKey(args.seed + 1)
+    # staged transfers: device_put from fresh collate buffers is up to 80x
+    # slower on remote-device runtimes (see data/staging.py)
+    from efficientat_tpu.data.staging import HostStagingPool, sync_transfer_mode
+    from efficientat_tpu.parallel.mesh import data_sharding
+
+    staging = HostStagingPool()
+    sync_transfers = sync_transfer_mode()
 
     var_cfg = (model.cfg, mel_cfg) if variable_eval else None
     if args.eval_only:
@@ -291,8 +309,13 @@ def run_train(task_name: str, argv):
             temp = jnp.float32(1.0)
         epoch_metrics = []
         for batch in train_loader.epoch(epoch):
-            prepared = shard_batch(_prepare_batch(batch, spec, teacher), mesh)
+            prepared = staging.put(_prepare_batch(batch, spec, teacher),
+                                   data_sharding(mesh))
             state, metrics = jt(state, prepared, rng, temp)
+            if sync_transfers:
+                # on this runtime a put overlapping an execution stalls
+                # 4-6 s (see data/staging.py::sync_transfer_mode)
+                jax.block_until_ready(metrics["train_loss"])
             epoch_metrics.append(metrics)
         train_log = {k: float(np.mean([float(m[k]) for m in epoch_metrics]))
                      for k in epoch_metrics[0]} if epoch_metrics else {}

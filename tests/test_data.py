@@ -218,3 +218,84 @@ def test_dcase20_fixture(tmp_path):
     m = mix.get(0, np.random.default_rng(1))
     assert m["target"].shape == (10,)
     assert m["target"].sum() == pytest.approx(1.0)
+
+
+def test_host_staging_pool_roundtrip_and_reuse():
+    """HostStagingPool: exact values through the CPU pass-through (CPU
+    device_put is zero-copy, so staging is bypassed there), and correct
+    copy-in + slot-reuse bookkeeping on the forced staging path (the
+    fresh-mapping device_put cliff fix, data/staging.py)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from efficientat_tpu.data.staging import HostStagingPool
+
+    rng = np.random.default_rng(0)
+
+    # CPU pass-through: values exact, nothing staged, sharding honored
+    pool = HostStagingPool(slots=2)
+    outs, wants = [], []
+    for i in range(5):
+        batch = {"wave": rng.normal(size=(4, 64)).astype(np.float32),
+                 "target": rng.random((4, 3)).astype(np.float32),
+                 "step": np.float32(i)}
+        wants.append({k: np.array(v) for k, v in batch.items()})
+        outs.append(pool.put(batch))
+    for got, want in zip(outs, wants):
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+    assert all(not b for b in pool._bufs)  # bypassed: no staging buffers
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    sharded = pool.put(np.arange(8, dtype=np.float32).reshape(2, 4),
+                       NamedSharding(mesh, P("data")))
+    assert sharded.sharding.is_equivalent_to(NamedSharding(mesh, P("data")), 2)
+    np.testing.assert_array_equal(
+        np.asarray(sharded), np.arange(8, dtype=np.float32).reshape(2, 4))
+
+    # forced staging (the TPU path): copy-in is exact at put time, slots
+    # round-robin, shape changes reallocate without growing the dict
+    pool = HostStagingPool(slots=2, stage_on_cpu=True)
+    for i in range(5):
+        batch = {"wave": rng.normal(size=(4, 64)).astype(np.float32),
+                 "step": np.float32(i)}
+        got = pool.put(batch)  # read back BEFORE the slot is rewritten
+        np.testing.assert_array_equal(np.asarray(got["wave"]), batch["wave"])
+        assert float(got["step"]) == float(i)
+    assert len(pool._bufs[0]) == 1 and len(pool._bufs[1]) == 1
+    buf_id = id(pool._bufs[0][(1, (4, 64), np.dtype(np.float32))])
+    got = pool.put({"wave": np.ones((4, 64), np.float32),
+                    "step": np.float32(9)})
+    assert id(pool._bufs[0][(1, (4, 64), np.dtype(np.float32))]) == buf_id
+    got = pool.put({"wave": np.ones((2, 64), np.float32),
+                    "step": np.float32(1)})
+    assert np.asarray(got["wave"]).shape == (2, 64)
+    assert len([k for k in pool._bufs[1] if k[0] == 1]) == 1
+
+
+def test_int16_waves_transport(tmp_path):
+    """int16_waves (half-bandwidth host->device transport): the dataset
+    yields int16 PCM exactly as stored, pad/resample preserve the dtype,
+    and the guard rejects float host augments."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "toy16.hdf")
+    rng = np.random.default_rng(3)
+    waves = [rng.normal(scale=0.1, size=6000).astype(np.float32)
+             for _ in range(2)]
+    targets = np.packbits((rng.random((2, 527)) > 0.9).astype(np.uint8), axis=1)
+    write_pcm_hdf5(path, waves, targets, ["Ya.mp3", "Yb.mp3"])
+
+    ds16 = open_audio_hdf5(path, clip_length_seconds=0.25, num_classes=527,
+                           int16_waves=True)
+    dsf = open_audio_hdf5(path, clip_length_seconds=0.25, num_classes=527)
+    it16 = ds16.get(0, np.random.default_rng(0))
+    itf = dsf.get(0, np.random.default_rng(0))
+    assert it16["wave"].dtype == np.int16
+    assert it16["wave"].shape == itf["wave"].shape
+    # dequantized int16 == the float path exactly (same stored int16)
+    np.testing.assert_array_equal(
+        it16["wave"].astype(np.float32) / 32768.0, itf["wave"])
+    assert it16["wave"][6000:].max() == 0  # int16 zero padding
+    with _pytest.raises(ValueError):
+        open_audio_hdf5(path, num_classes=527, int16_waves=True,
+                        gain_augment=4)

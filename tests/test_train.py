@@ -359,3 +359,35 @@ def test_training_converges_on_separable_task():
         losses.append(float(metrics["train_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] / 3, (losses[0], losses[-1])
+
+
+def test_train_step_int16_wave_parity():
+    """An int16 wave batch (data/hdf5.py int16_waves transport) must
+    produce the same step as the dequantized float32 batch. The math is
+    exact in fp32, but XLA may fuse the dequantize multiply into the first
+    conv (different rounding order), which flips update signs for
+    near-zero grads through Adam's normalizer — so assert the loss (the
+    full fwd path) tightly rather than post-optimizer params."""
+    model = MN(MNConfig(width_mult=0.4, num_classes=10))
+    loss_cfg = LossConfig(kind="bce", mixup_alpha=0.3, kd_lambda=0.1)
+    ts = jax.jit(make_train_step(model, MEL, loss_cfg))
+
+    rng = np.random.default_rng(7)
+    w16 = (rng.normal(size=(4, WAVE_LEN)) * 3000).astype(np.int16)
+    base = {
+        "target": (rng.random((4, 10)) > 0.8).astype(np.float32),
+        "teacher": rng.random((4, 10)).astype(np.float32),
+        "teacher_valid": np.ones(4, np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    s1, m1 = ts(tiny_state(model), dict(base, wave=w16), key, jnp.float32(1.0))
+    s2, m2 = ts(tiny_state(model),
+                dict(base, wave=(w16.astype(np.float32) / 32768.0)),
+                key, jnp.float32(1.0))
+    np.testing.assert_allclose(float(m1["train_loss"]),
+                               float(m2["train_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(m1["label_loss"]),
+                               float(m2["label_loss"]), rtol=1e-5)
+    # params stay in the same ballpark (update magnitude ~lr)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
