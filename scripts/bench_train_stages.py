@@ -1,10 +1,16 @@
-"""Where does the KD train step's time go? (mn10, B=120, device-chained.)
+"""Where does the KD train step's time go? (B=120, device-chained.)
+
+Usage: python scripts/bench_train_stages.py [mn|dymn[,no_dyconv|,no_dyrelu|,no_ca...]]
 
 Rows:
 - mel_train: training-mode mel (pallas kernel + jittered banks + masks)
 - fwd_only: model forward in train mode (on precomputed mel, incl. BN stats)
 - fwd_bwd: value_and_grad of the loss (no optimizer update)
 - full_step: the real train step (mel + mixup + fwd/bwd + Adam)
+
+The dymn ablation specs attribute train-step cost to the dynamic pieces
+(VERDICT r2 #9: is the backward dominated by the depthwise fold or the
+ContextGen/DyReLU elementwise chain?).
 """
 
 from __future__ import annotations
@@ -43,7 +49,15 @@ def main():
     )
 
     mel_cfg = MelConfig(freqm=48, timem=192)
-    model = MN(MNConfig())
+    spec = sys.argv[1] if len(sys.argv) > 1 else "mn"
+    parts = spec.split(",")
+    if parts[0] == "dymn":
+        from efficientat_tpu.models.dymn import DyMN, DyMNConfig
+        flags = {p: True for p in parts[1:]}
+        model = DyMN(DyMNConfig(t_max=30.0, **flags))
+    else:
+        model = MN(MNConfig())
+    print(json.dumps({"model": spec, "batch": B}), flush=True)
     sched = per_epoch_schedule(exp_warmup_linear_down(8, 95, 80, 0.01),
                                8e-4, steps_per_epoch=833)
     state = create_train_state(model, jax.random.PRNGKey(0),
