@@ -342,3 +342,32 @@ def test_audioset_train_eval_on_real_format_mp3_hdf5(tmp_path):
         "--model_width", "0.1", "--num_workers", "2", "--kd_lambda", "0.0"])
     assert "mAP" in metrics and 0.0 <= metrics["mAP"] <= 1.0
     assert np.isfinite(metrics["val_loss"])
+
+
+def test_audioset_train_int16_waves_cli(tmp_path):
+    """--int16_waves end-to-end: PCM-HDF5 splits -> int16 collate ->
+    device dequantize in the train step (the half-bandwidth transport,
+    data/hdf5.py), through the balanced sampler and eval."""
+    from efficientat_tpu.data.hdf5 import write_pcm_hdf5
+
+    sr = 32000
+    for stem, seed in [("balanced_train_segments", 1),
+                       ("unbalanced_train_segments", 2),
+                       ("eval_segments", 3)]:
+        g = np.random.default_rng(seed)
+        t = np.arange(sr) / sr
+        waves = [(0.3 * np.sin(2 * np.pi * (150 + 40 * i) * t)
+                  + 0.02 * g.normal(size=sr)).astype(np.float32)
+                 for i in range(4)]
+        targets = np.zeros((4, 66), np.uint8)
+        for i in range(4):
+            targets[i, i % 60] = 0x80 >> (i % 8)
+        write_pcm_hdf5(str(tmp_path / f"{stem}_pcm.hdf"), waves, targets,
+                       [f"Y{stem}{i}.mp3" for i in range(4)], sample_rate=sr)
+
+    argv = ["--dataset_dir", str(tmp_path), "--batch_size", "2",
+            "--n_epochs", "1", "--model_width", "0.1", "--num_workers", "2",
+            "--epoch_len", "4", "--kd_lambda", "0.0", "--int16_waves",
+            "--ckpt_dir", str(tmp_path / "ckpt")]
+    state = run_train("audioset", argv)
+    assert int(state.step) == 2
