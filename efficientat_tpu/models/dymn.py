@@ -89,6 +89,15 @@ class DynamicConv(nn.Module):
     dilation: int = 1
     groups: int = 1
     k: int = 4
+    # pointwise lowering (see scripts/probe_pw_shared.py):
+    # - "per_sample": per-sample kernel wb = att @ banks, then a batched
+    #   matmul — B small GEMMs with contraction dim as low as 16.
+    # - "shared_out": ONE shared-weight GEMM with K*Co output columns
+    #   (full MXU weight reuse, 4x the FLOPs), then contract with att.
+    # - "shared_in": elementwise expand to K*Ci then one GEMM.
+    # All three compute y[b,n,o] = sum_{k,i} att[b,k] x[b,n,i] W[k,i,o]
+    # (equivalence pinned in tests/test_models.py).
+    pw_form: str = "per_sample"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -103,10 +112,22 @@ class DynamicConv(nn.Module):
             w = self.param(
                 "weight", _bank_init(self.k, fan_out),
                 (self.k, self.in_channels, self.out_channels))
-            wb = jnp.einsum("bk,kio->bio", att, w.astype(self.dtype))
+            w = w.astype(self.dtype)
             b, f, t, ci = x.shape
-            y = jnp.einsum("bni,bio->bno", x.reshape(b, f * t, ci), wb,
-                           preferred_element_type=self.dtype)
+            x2 = x.reshape(b, f * t, ci)
+            if self.pw_form == "shared_out":
+                u = jnp.einsum("bni,kio->bnko", x2, w,
+                               preferred_element_type=self.dtype)
+                y = jnp.einsum("bnko,bk->bno", u, att,
+                               preferred_element_type=self.dtype)
+            elif self.pw_form == "shared_in":
+                z = att[:, None, :, None] * x2[:, :, None, :]  # (B,N,K,Ci)
+                y = jnp.einsum("bnkc,kco->bno", z, w,
+                               preferred_element_type=self.dtype)
+            else:
+                wb = jnp.einsum("bk,kio->bio", att, w)
+                y = jnp.einsum("bni,bio->bno", x2, wb,
+                               preferred_element_type=self.dtype)
             return y.reshape(b, f, t, self.out_channels)
         if self.groups == self.in_channels == self.out_channels:
             w = self.param(
@@ -334,6 +355,7 @@ class DYBlock(nn.Module):
     no_dyrelu: bool = False
     no_dyconv: bool = False
     no_ca: bool = False
+    pw_form: str = "per_sample"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -365,7 +387,8 @@ class DYBlock(nn.Module):
                             dtype=self.dtype, name="exp_conv")(x)
             else:
                 x = DynamicConv(cnf.input_channels, cnf.expanded_channels,
-                                k=self.dyconv_k, dtype=self.dtype,
+                                k=self.dyconv_k, pw_form=self.pw_form,
+                                dtype=self.dtype,
                                 name="exp_conv")(x, h_c, temperature)
             x = bn("exp_bn")(x)
             x = act(x)
@@ -403,7 +426,8 @@ class DYBlock(nn.Module):
                         dtype=self.dtype, name="proj_conv")(x)
         else:
             x = DynamicConv(cnf.expanded_channels, cnf.out_channels,
-                            k=self.dyconv_k, dtype=self.dtype,
+                            k=self.dyconv_k, pw_form=self.pw_form,
+                            dtype=self.dtype,
                             name="proj_conv")(x, h_c, temperature)
         x = bn("proj_bn")(x)
 
@@ -434,6 +458,9 @@ class DyMNConfig:
     no_dyrelu: bool = False
     no_dyconv: bool = False
     no_ca: bool = False
+    # pointwise DynamicConv lowering: per_sample | shared_out | shared_in
+    # (see DynamicConv.pw_form)
+    pw_form: str = "per_sample"
     use_dy_blocks: str = "all"  # all | replace_se
     reduced_tail: bool = False
     dilated: bool = False
@@ -498,7 +525,8 @@ class DyMN(nn.Module):
                 x = dy_cls(cnf, cfg.width_mult, cfg.context_ratio,
                            cfg.max_context_size, cfg.min_context_size,
                            cfg.dyrelu_k, cfg.dyconv_k, cfg.no_dyrelu,
-                           cfg.no_dyconv, cfg.no_ca, dtype=self.dtype,
+                           cfg.no_dyconv, cfg.no_ca, cfg.pw_form,
+                           dtype=self.dtype,
                            name=f"block{i}")(x, train, temperature, tv)
             else:
                 # static blocks in DyMN carry no SE (DynamicInvertedResidualConfig

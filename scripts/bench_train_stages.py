@@ -53,7 +53,10 @@ def main():
     parts = spec.split(",")
     if parts[0] == "dymn":
         from efficientat_tpu.models.dymn import DyMN, DyMNConfig
-        flags = {p: True for p in parts[1:]}
+        flags = {}
+        for part in parts[1:]:  # no_dyconv | pw_form=shared_out | ...
+            k, _, v = part.partition("=")
+            flags[k] = v if v else True
         model = DyMN(DyMNConfig(t_max=30.0, **flags))
     else:
         model = MN(MNConfig())

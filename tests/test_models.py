@@ -247,3 +247,21 @@ def test_dynamic_depthwise_lowerings_agree(ks, stride, c):
     got = _dynamic_depthwise_cm(x, w, att, ks, stride, 1)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_dynamic_pointwise_forms_agree():
+    """The three pointwise DynamicConv lowerings (per_sample batched
+    matmul, shared_out one-GEMM, shared_in expand-GEMM) are the same
+    linear op; pin their equivalence so the perf choice stays free."""
+    from efficientat_tpu.models.dymn import DyMN, DyMNConfig
+
+    x = jnp.asarray(np.random.default_rng(5).normal(size=(3, 128, 32, 1)),
+                    jnp.float32)
+    outs = []
+    for form in ["per_sample", "shared_out", "shared_in"]:
+        m = DyMN(DyMNConfig(width_mult=0.4, num_classes=7, t_max=1.0,
+                            pw_form=form))
+        v = m.init(jax.random.PRNGKey(0), x[:1])
+        outs.append(np.asarray(m.apply(v, x, False, 1.0)[0]))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[2], outs[0], rtol=1e-5, atol=1e-5)
