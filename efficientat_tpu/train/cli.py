@@ -144,6 +144,9 @@ def _run_eval(spec, je, state, eval_loader, temperature, batch_size,
     """variable_cfg: (model_cfg, mel_cfg) enables masked variable-length eval."""
     import jax.numpy as jnp
 
+    from efficientat_tpu.data.staging import HostStagingPool
+
+    staging = HostStagingPool()
     all_logits, all_targets = [], []
     for batch in eval_loader.epoch(0):
         wave = batch["wave"].astype(np.float32)
@@ -157,10 +160,10 @@ def _run_eval(spec, je, state, eval_loader, temperature, batch_size,
             # valid INPUT mel frames; the model derives per-stage counts
             tv = ((samples - 1) // mel_cfg.hopsize + 1).astype(np.int32)
             tv = np.concatenate([tv, np.ones(wave.shape[0] - n, np.int32)])
-            logits = np.asarray(je(state, jnp.asarray(wave), temperature,
+            logits = np.asarray(je(state, staging.put(wave), temperature,
                                    jnp.asarray(tv)))[:n]
         else:
-            logits = np.asarray(je(state, jnp.asarray(wave), temperature))[:n]
+            logits = np.asarray(je(state, staging.put(wave), temperature))[:n]
         all_logits.append(logits)
         t = np.asarray(batch["target"])
         all_targets.append(t if t.ndim > 0 else t[None])
