@@ -173,6 +173,22 @@ def _add_rf(sub):
                    help="generic CNN spec k:s[:d],... ; fields may be fxt pairs")
     p.set_defaults(fn=_run_rf)
 
+    p = sub.add_parser(
+        "convert-dataset",
+        help="Convert a reference mp3-HDF5 to int16 PCM HDF5 (fast reads, "
+             "int16 transport; ~8x larger on disk)")
+    p.add_argument("--src", type=str, required=True, help="*_mp3.hdf input")
+    p.add_argument("--dst", type=str, required=True, help="*_pcm.hdf output")
+    p.add_argument("--sample_rate", type=int, default=32000)
+    p.set_defaults(fn=_run_convert_dataset)
+
+
+def _run_convert_dataset(args):
+    from efficientat_tpu.data.hdf5 import convert_mp3_hdf5_to_pcm
+
+    convert_mp3_hdf5_to_pcm(args.src, args.dst, args.sample_rate)
+    print(f"wrote {args.dst}")
+
 
 def _run_rf(args):
     from efficientat_tpu.tools.receptive_field import report_receptive_field

@@ -186,7 +186,10 @@ def write_pcm_hdf5(path: str, waves, targets, names, sample_rate: int = 32000):
 
 
 def convert_mp3_hdf5_to_pcm(src: str, dst: str, sample_rate: int = 32000):
-    """One-time migration: reference mp3-HDF5 -> PCM HDF5 (requires PyAV)."""
+    """One-time migration: reference mp3-HDF5 -> int16 PCM HDF5 (decoded
+    by the first-party decoder). PCM reads are ~40x faster than decode and
+    enable the int16 transport path (`int16_waves`); the files are ~8x
+    larger. CLI: ``python -m efficientat_tpu.cli convert-dataset``."""
     import h5py
 
     from efficientat_tpu.data.audio_io import decode_mp3
