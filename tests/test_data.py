@@ -299,3 +299,19 @@ def test_int16_waves_transport(tmp_path):
     with _pytest.raises(ValueError):
         open_audio_hdf5(path, num_classes=527, int16_waves=True,
                         gain_augment=4)
+
+
+def test_sync_transfer_mode_policy(monkeypatch):
+    """EAT_SYNC_TRANSFERS overrides; otherwise keyed to the tunnel env."""
+    from efficientat_tpu.data.staging import sync_transfer_mode
+
+    monkeypatch.delenv("EAT_SYNC_TRANSFERS", raising=False)
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    assert sync_transfer_mode() is False
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    assert sync_transfer_mode() is True
+    monkeypatch.setenv("EAT_SYNC_TRANSFERS", "0")
+    assert sync_transfer_mode() is False
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("EAT_SYNC_TRANSFERS", "1")
+    assert sync_transfer_mode() is True
