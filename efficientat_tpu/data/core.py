@@ -257,6 +257,10 @@ def _collate(items: List[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+# smallest per-task item slice worth the submission overhead
+_MIN_SLICE = 4
+
+
 class Loader:
     """Threaded prefetching batch loader.
 
@@ -301,22 +305,36 @@ class Loader:
         batches = [indices[i:i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]
 
-        def fetch(batch_idx_and_ids):
-            bi, ids = batch_idx_and_ids
+        def fetch_slice(ids):
             items = []
             for idx in ids:
                 rng = np.random.default_rng(
                     np.random.SeedSequence([self.seed, epoch, int(idx)]))
                 items.append(self.dataset.get(int(idx), rng))
-            return self.collate_fn(items)
+            return items
+
+        # Each batch is split into up to ``num_threads`` slices submitted
+        # as independent pool tasks (flat, never nested — nesting can
+        # deadlock a bounded pool), so a single batch's decode fans out
+        # across every core instead of running serially in one worker:
+        # batch latency drops ~num_threads x on multi-core hosts. Item
+        # RNG is keyed by (seed, epoch, index), so the split cannot
+        # change results.
+        n_slices = max(1, min(self.num_threads,
+                              -(-self.batch_size // _MIN_SLICE)))
+
+        def submit_batch(ids):
+            step = -(-len(ids) // n_slices)
+            return [pool.submit(fetch_slice, ids[i:i + step])
+                    for i in range(0, len(ids), step)]
 
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             futures = queue.Queue()
-            it = iter(enumerate(batches))
+            it = iter(batches)
 
             def submit_next():
                 try:
-                    futures.put(pool.submit(fetch, next(it)))
+                    futures.put(submit_batch(next(it)))
                     return True
                 except StopIteration:
                     return False
@@ -325,7 +343,8 @@ class Loader:
                 submit_next()
             produced = 0
             while produced < len(batches):
-                fut = futures.get()
-                submit_next()
-                yield fut.result()
+                futs = futures.get()
+                submit_next()  # keep the pipeline full before blocking
+                items = [item for f in futs for item in f.result()]
+                yield self.collate_fn(items)
                 produced += 1

@@ -315,3 +315,28 @@ def test_sync_transfer_mode_policy(monkeypatch):
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
     monkeypatch.setenv("EAT_SYNC_TRANSFERS", "1")
     assert sync_transfer_mode() is True
+
+
+def test_loader_slice_determinism_across_thread_counts():
+    """Batches must be identical for any num_threads: the intra-batch
+    slice fan-out (core.py) may not change item order or RNG streams."""
+    from efficientat_tpu.data.core import Dataset, Loader
+
+    class Toy(Dataset):
+        def __len__(self):
+            return 37
+
+        def get(self, i, rng):
+            return {"wave": np.full(5, i, np.float32) + rng.random(),
+                    "fname": str(i)}
+
+    ref = None
+    for nt in (1, 3, 8):
+        ld = Loader(Toy(), 8, num_threads=nt, seed=3)
+        got = [b["wave"].copy() for b in ld.epoch(2)]
+        if ref is None:
+            ref = got
+        else:
+            assert len(got) == len(ref)
+            for a, b in zip(got, ref):
+                np.testing.assert_array_equal(a, b)
