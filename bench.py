@@ -609,8 +609,12 @@ def main():
             print(f"{name} failed: {e}", file=sys.stderr)
             extra[name] = None
 
-    # the self-test first: a wrong kernel must fail the whole bench
-    extra.update(mel_selftest())
+    # the self-test first: a wrong kernel must be visible in every run
+    try:
+        extra.update(mel_selftest())
+    except Exception as e:
+        print(f"mel selftest FAILED: {e}", file=sys.stderr)
+        extra["mel_selftest_error"] = str(e)[:200]
 
     mn_cps = measure_mn10()
     grab("dymn10_as_infer_clips_per_s", measure_dymn10)
