@@ -323,10 +323,10 @@ def measure_kd_train_hostfed(fmt="mp3", batch=TRAIN_BATCH) -> float:
     from efficientat_tpu.train.kd import SyntheticTeacherStore
 
     mp3_path, pcm_path = _hostfed_fixture()
+    codec = {"pcm16": "i16", "pcm8": "mulaw8"}.get(fmt, "f32")
     ds = open_audio_hdf5(mp3_path if fmt == "mp3" else pcm_path,
                          sample_rate=SR, clip_length_seconds=CLIP_SECONDS,
-                         resample_rate=SR, num_classes=527,
-                         int16_waves=(fmt == "pcm16"))
+                         resample_rate=SR, num_classes=527, wave_codec=codec)
     loader = Loader(ds, batch, drop_last=True, seed=0)
     teacher = SyntheticTeacherStore(527)
     state, train_step = _kd_train_setup("mn")
@@ -335,8 +335,9 @@ def measure_kd_train_hostfed(fmt="mp3", batch=TRAIN_BATCH) -> float:
 
     def prepare(b):
         rows, valid = teacher.lookup(b["fname"])
-        w = b["wave"]  # int16 transports as-is (dequantized on device)
-        return {"wave": w if w.dtype == np.int16 else w.astype(np.float32),
+        w = b["wave"]  # coded waves transport as-is (decoded on device)
+        return {"wave": w if w.dtype in (np.int16, np.uint8)
+                else w.astype(np.float32),
                 "target": np.asarray(b["target"], np.float32),
                 "teacher": rows, "teacher_valid": valid}
 
@@ -629,6 +630,8 @@ def main():
          lambda: measure_kd_train_hostfed("pcm"))
     grab("kd_train_hostfed_pcm16_clips_per_s",
          lambda: measure_kd_train_hostfed("pcm16"))
+    grab("kd_train_hostfed_mulaw8_clips_per_s",
+         lambda: measure_kd_train_hostfed("pcm8"))
     # the hostfed rows are bounded by min(decode x cores, transfer rate):
     # emit both sides so the numbers can be interpreted on any host
     extra["hostfed_cpu_cores"] = os.cpu_count()

@@ -52,10 +52,10 @@ def _paths(dataset_dir):
     }
 
 
-def _open(path, resample_rate, gain_augment=0, int16_waves=False):
+def _open(path, resample_rate, gain_augment=0, wave_codec="f32"):
     return open_audio_hdf5(path, sample_rate=32000, clip_length_seconds=10.0,
                            resample_rate=resample_rate, gain_augment=gain_augment,
-                           num_classes=NUM_CLASSES, int16_waves=int16_waves)
+                           num_classes=NUM_CLASSES, wave_codec=wave_codec)
 
 
 def _wrap(ds, roll, wavmix):
@@ -66,32 +66,32 @@ def _wrap(ds, roll, wavmix):
     return ds
 
 
-def _check_int16(int16_waves, wavmix):
+def _check_codec(wave_codec, wavmix):
     # roll (np.roll) is dtype-agnostic; wavmix blends in float — keep
     # float32 waves for wavmix runs
-    if int16_waves and wavmix:
-        raise ValueError("int16_waves cannot be combined with wavmix "
-                         "(a host-side float blend)")
+    if wave_codec != "f32" and wavmix:
+        raise ValueError(f"wave_codec={wave_codec!r} cannot be combined "
+                         "with wavmix (a host-side float blend)")
 
 
 def get_training_set(dataset_dir=None, resample_rate=32000, roll=False,
-                     wavmix=False, gain_augment=0, int16_waves=False):
+                     wavmix=False, gain_augment=0, wave_codec="f32"):
     """Balanced train split only (audioset.py:242-250)."""
-    _check_int16(int16_waves, wavmix)
+    _check_codec(wave_codec, wavmix)
     p = _paths(dataset_dir)
     return _wrap(_open(p["balanced"], resample_rate, gain_augment,
-                       int16_waves), roll, wavmix)
+                       wave_codec), roll, wavmix)
 
 
 def get_full_training_set(dataset_dir=None, resample_rate=32000, roll=False,
-                          wavmix=False, gain_augment=0, int16_waves=False):
+                          wavmix=False, gain_augment=0, wave_codec="f32"):
     """balanced + unbalanced concat — order matters for the sampler weights
     (audioset.py:189-191,217-221)."""
-    _check_int16(int16_waves, wavmix)
+    _check_codec(wave_codec, wavmix)
     p = _paths(dataset_dir)
     ds = ConcatDataset([
-        _open(p["balanced"], resample_rate, gain_augment, int16_waves),
-        _open(p["unbalanced"], resample_rate, gain_augment, int16_waves),
+        _open(p["balanced"], resample_rate, gain_augment, wave_codec),
+        _open(p["unbalanced"], resample_rate, gain_augment, wave_codec),
     ])
     return _wrap(ds, roll, wavmix)
 

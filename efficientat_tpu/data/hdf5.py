@@ -73,17 +73,26 @@ class _BaseHdf5Dataset(Dataset):
                  clip_length_seconds: Optional[float] = 10.0,
                  resample_rate: int = 32000, gain_augment: int = 0,
                  num_classes: Optional[int] = None, random_offset_crop: bool = False,
-                 int16_waves: bool = False):
-        # int16_waves: yield waves as int16 PCM instead of float32 — HALF
-        # the host->device bytes; the train step dequantizes on device
-        # (train/loop.py). Exact for int16 PCM sources; for mp3 sources the
-        # requantization error (<=3e-5) is far below the codec noise floor.
+                 int16_waves: bool = False, wave_codec: Optional[str] = None):
+        # wave_codec ("f32" | "i16" | "mulaw8", data/wavecodec.py): how
+        # waves transport host->device — i16 halves the bytes (exact for
+        # int16 PCM sources), mulaw8 quarters them (lossy ~38 dB SNR);
+        # the train step decodes on device (train/loop.py).
+        # ``int16_waves=True`` is sugar for wave_codec="i16".
         # Incompatible with host-side float augments (gain).
-        if int16_waves and gain_augment:
-            raise ValueError("int16_waves cannot be combined with "
+        from efficientat_tpu.data.wavecodec import CODECS
+
+        if wave_codec is None:
+            wave_codec = "i16" if int16_waves else "f32"
+        if wave_codec not in CODECS:
+            raise ValueError(f"wave_codec={wave_codec!r}: pick one of {CODECS}")
+        if wave_codec != "f32" and gain_augment:
+            raise ValueError("compressed wave transport (wave_codec="
+                             f"{wave_codec!r}) cannot be combined with "
                              "gain_augment (a host-side float augment); "
                              "leave waves float32 for gain-augmented tasks")
-        self.int16_waves = int16_waves
+        self.wave_codec = wave_codec
+        self.int16_waves = wave_codec == "i16"
         self.h5 = _LazyH5(hdf5_path)
         self.sample_rate = sample_rate
         self.resample_rate = resample_rate
@@ -123,14 +132,9 @@ class _BaseHdf5Dataset(Dataset):
             name = name[1:]
         target = _unpack_target(f["target"][index],
                                 self.num_classes or 0) if "target" in f else None
-        if self.int16_waves:
-            if wave.dtype != np.int16:
-                wave = np.clip(wave * 32768.0, -32768, 32767).astype(np.int16)
-            item = {"wave": wave, "fname": name}
-            if target is not None:
-                item["target"] = target
-            return item
-        item = {"wave": wave.astype(np.float32), "fname": name}
+        from efficientat_tpu.data.wavecodec import encode
+
+        item = {"wave": encode(wave, self.wave_codec), "fname": name}
         if target is not None:
             item["target"] = target
         return item
@@ -153,7 +157,7 @@ class PCMHdf5Dataset(_BaseHdf5Dataset):
     def _decode(self, index):
         pcm = np.asarray(self.h5.file["pcm"][index])
         if pcm.dtype == np.int16:
-            if self.int16_waves:  # skip the host float conversion entirely
+            if self.wave_codec != "f32":  # encode() takes int16 directly
                 return pcm
             return (pcm / 32768.0).astype(np.float32)
         return pcm.astype(np.float32)

@@ -37,9 +37,13 @@ def _build_parser(spec):
                    help="rematerialize block activations in backward "
                         "(jax.checkpoint): big widths / batches on one chip")
     p.add_argument("--int16_waves", action="store_true", default=False,
-                   help="transport waves host->device as int16 PCM (half "
-                        "the transfer bytes; dequantized on device). "
-                        "Incompatible with wavmix/gain_augment")
+                   help="alias for --wave_codec i16")
+    p.add_argument("--wave_codec", choices=["f32", "i16", "mulaw8"],
+                   default=None,
+                   help="wave transport host->device (data/wavecodec.py): "
+                        "i16 = half the bytes (exact for PCM sources), "
+                        "mulaw8 = quarter (lossy ~38 dB SNR). Decoded on "
+                        "device. Incompatible with wavmix/gain_augment")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--keep_checkpoints", type=int, default=1)
     p.add_argument("--experiment_name", type=str, default=None)
@@ -100,8 +104,9 @@ def _build_model(spec, args, dtype):
 
 def _prepare_batch(batch, spec, teacher):
     wave = batch["wave"]
-    # int16 waves transfer as-is (half the bytes) and dequantize on device
-    out = {"wave": wave if wave.dtype == np.int16
+    # coded waves (int16 PCM / mu-law uint8, data/wavecodec.py) transfer
+    # as-is at 1/2 / 1/4 the bytes and decode on device
+    out = {"wave": wave if wave.dtype in (np.int16, np.uint8)
            else wave.astype(np.float32)}
     target = batch["target"]
     if spec.loss_kind == "ce" and np.asarray(target).ndim == 1:

@@ -152,11 +152,11 @@ def make_train_step(model, mel_cfg: MelConfig, loss_cfg: LossConfig,
         r_mel, r_mix, r_style, r_drop = jax.random.split(
             jax.random.fold_in(rng, state.step), 4)
 
-        wave = batch["wave"]
-        if jnp.issubdtype(wave.dtype, jnp.integer):
-            # int16 PCM transport (data/hdf5.py int16_waves): half the
-            # host->device bytes; dequantize on device
-            wave = wave.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+        # compressed wave transport (data/wavecodec.py): int16 PCM or
+        # mu-law uint8 arrive at 1/2 / 1/4 the bytes, decode on device
+        from efficientat_tpu.data.wavecodec import decode_on_device
+
+        wave = decode_on_device(batch["wave"])
         mel = log_mel_spectrogram_fused(wave, mel_cfg, training=True,
                                         rng=r_mel, mesh=mesh)
         x = mel[..., None]

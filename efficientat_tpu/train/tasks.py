@@ -146,8 +146,11 @@ def build_datasets(spec: TaskSpec, args, eval_only: bool = False):
         train = m.get_full_training_set(d, args.resample_rate,
                                         roll=args.roll, wavmix=args.wavmix,
                                         gain_augment=args.gain_augment,
-                                        int16_waves=getattr(
-                                            args, "int16_waves", False))
+                                        wave_codec=getattr(
+                                            args, "wave_codec", None)
+                                        or ("i16" if getattr(
+                                            args, "int16_waves", False)
+                                            else "f32"))
         sampler = m.get_ft_weighted_sampler(d, epoch_len=args.epoch_len)
         return train, sampler, m.get_test_set(d, args.resample_rate)
     if spec.name == "esc50":

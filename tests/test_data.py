@@ -340,3 +340,77 @@ def test_loader_slice_determinism_across_thread_counts():
             assert len(got) == len(ref)
             for a, b in zip(got, ref):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_wave_codecs_roundtrip_and_device_decode():
+    """wavecodec (data/wavecodec.py): i16 is exact for int16 PCM; mulaw8
+    round-trips at telephony SNR; the traced device decode matches the
+    host oracle bit-for-bit; the int16->mulaw table equals the formula."""
+    import jax
+
+    from efficientat_tpu.data import wavecodec as wc
+
+    rng = np.random.default_rng(0)
+    x = np.clip(rng.normal(scale=0.2, size=8000), -1, 1).astype(np.float32)
+
+    # i16: exact round-trip through device decode for int16 sources
+    i16 = wc.encode(x, "i16")
+    assert i16.dtype == np.int16
+    back = np.asarray(jax.jit(wc.decode_on_device)(i16))
+    np.testing.assert_array_equal(back, i16.astype(np.float32) / 32768.0)
+
+    # mulaw8: SNR must beat 30 dB on gaussian audio (it measures ~37-40)
+    u8 = wc.encode(x, "mulaw8")
+    assert u8.dtype == np.uint8
+    dec = wc.mulaw_decode(u8)
+    snr = 10 * np.log10(np.mean(x ** 2) / np.mean((x - dec) ** 2))
+    assert snr > 30, snr
+    # device decode == host oracle
+    dev = np.asarray(jax.jit(wc.decode_on_device)(u8))
+    np.testing.assert_allclose(dev, dec, rtol=1e-6, atol=1e-7)
+
+    # int16 table path == float formula path
+    i = wc.encode(x, "i16")
+    np.testing.assert_array_equal(
+        wc.encode(i, "mulaw8"), wc.mulaw_encode(i.astype(np.float32) / 32768.0))
+
+    # float32 passthrough + unknown codec guard
+    assert wc.encode(x, "f32") is x
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        wc.encode(x, "flac")
+
+
+def test_mulaw8_dataset_and_mel_closeness(tmp_path):
+    """A mulaw8 dataset yields uint8; the decoded wave's log-mel stays
+    close to the float path (the transport must not visibly distort the
+    features the model actually consumes)."""
+    import jax
+
+    from efficientat_tpu.data import wavecodec as wc
+    from efficientat_tpu.ops.melspec import MelConfig, log_mel_spectrogram
+
+    path = str(tmp_path / "toy8.hdf")
+    rng = np.random.default_rng(1)
+    t = np.arange(16000) / 32000.0
+    waves = [(0.4 * np.sin(2 * np.pi * 440 * t)
+              + 0.05 * rng.normal(size=t.size)).astype(np.float32)]
+    targets = np.packbits((rng.random((1, 527)) > 0.9).astype(np.uint8), axis=1)
+    write_pcm_hdf5(path, waves, targets, ["Yx.mp3"])
+
+    ds8 = open_audio_hdf5(path, clip_length_seconds=0.5, num_classes=527,
+                          wave_codec="mulaw8")
+    item = ds8.get(0, np.random.default_rng(0))
+    assert item["wave"].dtype == np.uint8
+    dec = wc.mulaw_decode(item["wave"])
+
+    dsf = open_audio_hdf5(path, clip_length_seconds=0.5, num_classes=527)
+    ref = dsf.get(0, np.random.default_rng(0))["wave"]
+    cfg = MelConfig()
+    mel = lambda w: np.asarray(jax.jit(
+        lambda ww: log_mel_spectrogram(ww, cfg))(w[None]))
+    # measured ~0.26 max in log space (quantization noise lifts
+    # near-floor bins) = ~0.05 in the (x+4.5)/5-normalized features the
+    # model sees, vs a ~11.5 log range; bound it so regressions surface
+    dev = np.abs(mel(dec.astype(np.float32)) - mel(ref)).max()
+    assert dev < 0.4, dev
