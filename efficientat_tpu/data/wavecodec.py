@@ -34,15 +34,20 @@ _I16_TO_MULAW = None
 
 
 def mulaw_encode(x: np.ndarray) -> np.ndarray:
-    """float32 [-1, 1] -> uint8 mu-law code."""
+    """float32 [-1, 1] -> uint8 mu-law code.
+
+    Mid-tread mapping centered at code 128 so SILENCE IS EXACT: encoded
+    zeros decode to exactly 0.0 (zero-padded clip tails and masked eval
+    regions must stay zero through the transport). Costs one code level
+    at positive full scale (+1.0 clips to 0.9961 pre-compander)."""
     x = np.clip(x, -1.0, 1.0)
     y = np.sign(x) * np.log1p(_MU * np.abs(x)) / np.log1p(_MU)
-    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+    return np.clip(np.round(y * 127.5) + 128.0, 0.0, 255.0).astype(np.uint8)
 
 
 def mulaw_decode(u: np.ndarray) -> np.ndarray:
     """uint8 mu-law code -> float32 (host-side oracle for the device op)."""
-    y = u.astype(np.float32) / 127.5 - 1.0
+    y = (u.astype(np.float32) - 128.0) / 127.5
     return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(_MU)) / _MU)
 
 
@@ -76,7 +81,7 @@ def decode_on_device(wave):
     if wave.dtype == jnp.int16:
         return wave.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
     if wave.dtype == jnp.uint8:
-        y = wave.astype(jnp.float32) * jnp.float32(1.0 / 127.5) - 1.0
+        y = (wave.astype(jnp.float32) - 128.0) * jnp.float32(1.0 / 127.5)
         scale = jnp.float32(np.log1p(_MU))
         return jnp.sign(y) * (jnp.expm1(jnp.abs(y) * scale)
                               * jnp.float32(1.0 / _MU))

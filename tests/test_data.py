@@ -414,3 +414,16 @@ def test_mulaw8_dataset_and_mel_closeness(tmp_path):
     # model sees, vs a ~11.5 log range; bound it so regressions surface
     dev = np.abs(mel(dec.astype(np.float32)) - mel(ref)).max()
     assert dev < 0.4, dev
+
+
+def test_mulaw8_silence_is_exact():
+    """Encoded silence must decode to exactly 0.0 — zero-padded clip
+    tails and masked eval regions ride the transport too."""
+    from efficientat_tpu.data import wavecodec as wc
+
+    z = np.zeros(16, np.float32)
+    u = wc.encode(z, "mulaw8")
+    assert (u == 128).all()
+    np.testing.assert_array_equal(wc.mulaw_decode(u), z)
+    i0 = np.zeros(16, np.int16)
+    np.testing.assert_array_equal(wc.mulaw_decode(wc.encode(i0, "mulaw8")), z)
