@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from efficientat_tpu.data.wavecodec import decode_on_device
 from efficientat_tpu.models.dymn import DyMN
 from efficientat_tpu.models.registry import build_model, get_model_config
 from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
@@ -135,12 +136,16 @@ class Tagger:
                 self._member_apply(members[0][0]), self.mesh, len(members))
 
             def fn(stacked, waves):
+                waves = decode_on_device(waves)
                 mel = log_mel_spectrogram_fused(waves, mel_cfg, mesh=self.mesh)
                 return jax.nn.sigmoid(ens(stacked, mel[..., None]))
 
             return fn
 
         def fn(variables_list, waves):
+            # coded waves (int16 PCM / mu-law uint8, data/wavecodec.py)
+            # decode in-program: remote callers can ship 2-4x fewer bytes
+            waves = decode_on_device(waves)
             mel = log_mel_spectrogram_fused(waves, mel_cfg)  # (B, n_mels, frames)
             x = mel[..., None]  # NHWC: (B, F, T, 1)
             logits_sum = None
@@ -153,16 +158,22 @@ class Tagger:
         return fn
 
     def predict(self, waves: np.ndarray) -> np.ndarray:
-        """waves: (B, num_samples) float32 at mel_cfg.sr -> probs (B, classes)."""
-        waves = np.atleast_2d(np.asarray(waves, dtype=np.float32))
-        key = waves.shape
+        """waves: (B, num_samples) at mel_cfg.sr -> probs (B, classes).
+
+        Accepts float32, int16 PCM, or mu-law uint8 waves (the coded
+        transports of data/wavecodec.py — decoded on device); callers on
+        the far side of a narrow link can ship 2-4x fewer bytes."""
+        waves = np.atleast_2d(np.asarray(waves))
+        if waves.dtype not in (np.int16, np.uint8):
+            waves = waves.astype(np.float32)
+        # mu-law code 128 IS silence (wavecodec mid-tread mapping)
+        pad_value = 128 if waves.dtype == np.uint8 else 0
+        key = (waves.shape, waves.dtype)
         mdb = self.max_device_batch
         split = (self._stacked is None and mdb and waves.shape[0] > mdb)
         if not split and key not in self._jitted:
             self._jitted[key] = jax.jit(self._make_fn())
         if self._stacked is not None:
-            from efficientat_tpu.parallel.mesh import shard_batch
-
             # pad the batch to a multiple of the data axis (sharding
             # requires even splits), run, slice the padding back off
             n = waves.shape[0]
@@ -170,8 +181,9 @@ class Tagger:
             n_pad = (-n) % ddim
             if n_pad:
                 waves = np.concatenate(
-                    [waves, np.zeros((n_pad,) + waves.shape[1:], waves.dtype)])
-                key = waves.shape
+                    [waves, np.full((n_pad,) + waves.shape[1:], pad_value,
+                                    waves.dtype)])
+                key = (waves.shape, waves.dtype)
                 if key not in self._jitted:
                     self._jitted[key] = jax.jit(self._make_fn())
             from efficientat_tpu.parallel.mesh import data_sharding
@@ -187,8 +199,9 @@ class Tagger:
             n_pad = (-n) % mdb
             if n_pad:
                 waves = np.concatenate(
-                    [waves, np.zeros((n_pad,) + waves.shape[1:], waves.dtype)])
-            ckey = (mdb,) + waves.shape[1:]
+                    [waves, np.full((n_pad,) + waves.shape[1:], pad_value,
+                                    waves.dtype)])
+            ckey = ((mdb,) + waves.shape[1:], waves.dtype)
             if ckey not in self._jitted:
                 self._jitted[ckey] = jax.jit(self._make_fn())
             fn = self._jitted[ckey]

@@ -127,3 +127,21 @@ def test_tagger_heterogeneous_mesh_falls_back():
     assert t._stacked is None  # different widths -> replicated path
     probs = t.predict(np.zeros((2, 32000), np.float32))
     assert probs.shape == (2, 527)
+
+
+def test_predict_accepts_coded_waves():
+    """Tagger.predict on int16 / mu-law uint8 waves (in-program decode,
+    data/wavecodec.py) must track the float32 predictions; separate
+    programs per dtype may not collide in the jit cache."""
+    from efficientat_tpu.data import wavecodec as wc
+
+    t = Tagger("mn01_as", pretrained=False)
+    rng = np.random.default_rng(0)
+    w = np.clip(rng.normal(scale=0.15, size=(2, 32000)), -1, 1).astype(np.float32)
+    pf = t.predict(w)
+    pi = t.predict(wc.encode(w, "i16"))
+    pu = t.predict(wc.encode(w, "mulaw8"))
+    assert pf.shape == pi.shape == pu.shape
+    np.testing.assert_allclose(pi, pf, atol=2e-4)   # i16: ~exact
+    np.testing.assert_allclose(pu, pf, atol=3e-2)   # mulaw8: lossy
+    assert len({k for k in t._jitted}) >= 3  # one program per dtype
