@@ -746,23 +746,46 @@ struct ChannelState {
             const double* spec = xr + 18 * sb;
             int bt = g.block_type;
             if (bt == 2 && g.mixed && sb < 2) bt = 0;
+            // IMDCT outputs have the standard phase symmetries (verified
+            // to 1e-14): raw[i] = -raw[17-i] for i<9 (first half
+            // antisymmetric) and raw[i] = raw[53-i] for i>=27 (second
+            // half symmetric); 12-point: raw[i] = -raw[5-i] for i<3,
+            // raw[i] = raw[17-i] for i>=9. Only the middle rows are
+            // computed — HALF the IMDCT multiplies.
             double blk[36];
             if (bt == 2) {
                 std::memset(blk, 0, sizeof(blk));
-                for (int w = 0; w < 3; w++)
-                    for (int i = 0; i < 12; i++) {
+                for (int w = 0; w < 3; w++) {
+                    double a12[6];
+                    for (int r = 0; r < 6; r++) {
                         double acc = 0.0;
                         for (int k = 0; k < 6; k++)
-                            acc += T.imdct12[i][k] * spec[w + 3 * k];
-                        blk[6 + 6 * w + i] += acc * T.win12[i];
+                            acc += T.imdct12[3 + r][k] * spec[w + 3 * k];
+                        a12[r] = acc;
                     }
-            } else {
-                for (int i = 0; i < 36; i++) {
-                    double acc = 0.0;
-                    for (int k = 0; k < 18; k++)
-                        acc += T.imdct36[i][k] * spec[k];
-                    blk[i] = acc * T.win[bt][i];
+                    double* o = blk + 6 + 6 * w;
+                    for (int i = 0; i < 3; i++)
+                        o[i] += -a12[2 - i] * T.win12[i];
+                    for (int i = 3; i < 9; i++)
+                        o[i] += a12[i - 3] * T.win12[i];
+                    for (int i = 9; i < 12; i++)
+                        o[i] += a12[14 - i] * T.win12[i];
                 }
+            } else {
+                double mid[18];  // raw rows 9..26
+                for (int r = 0; r < 18; r++) {
+                    double acc = 0.0;
+                    const double* row = T.imdct36[9 + r];
+                    for (int k = 0; k < 18; k++)
+                        acc += row[k] * spec[k];
+                    mid[r] = acc;
+                }
+                for (int i = 0; i < 9; i++)
+                    blk[i] = -mid[8 - i] * T.win[bt][i];
+                for (int i = 9; i < 27; i++)
+                    blk[i] = mid[i - 9] * T.win[bt][i];
+                for (int i = 27; i < 36; i++)
+                    blk[i] = mid[44 - i] * T.win[bt][i];
             }
             const bool flip = sb & 1;
             for (int i = 0; i < 18; i++) {
