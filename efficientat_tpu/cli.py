@@ -147,7 +147,7 @@ def _run_profile(args):
     import numpy as np
 
     from efficientat_tpu.infer.tag import Tagger
-    from efficientat_tpu.utils.profiling import time_fn, trace
+    from efficientat_tpu.utils.profiling import trace
 
     tagger = Tagger(args.model_name, pretrained=False)
     sr = tagger.mel_cfg.sr
