@@ -52,9 +52,11 @@ def mulaw_decode(u: np.ndarray) -> np.ndarray:
 
 
 def _i16_mulaw_table() -> np.ndarray:
+    # indexed by the int16 value REINTERPRETED as uint16 (a free .view),
+    # so the hot path is one fancy-index with no cast or offset add
     global _I16_TO_MULAW
     if _I16_TO_MULAW is None:
-        pcm = np.arange(-32768, 32768, dtype=np.int32).astype(np.float32)
+        pcm = np.arange(65536, dtype=np.uint16).view(np.int16).astype(np.float32)
         _I16_TO_MULAW = mulaw_encode(pcm / 32768.0)
     return _I16_TO_MULAW
 
@@ -69,7 +71,7 @@ def encode(wave: np.ndarray, codec: str) -> np.ndarray:
         return np.clip(wave * 32768.0, -32768, 32767).astype(np.int16)
     if codec == "mulaw8":
         if wave.dtype == np.int16:  # table path: no float conversion
-            return _i16_mulaw_table()[wave.astype(np.int32) + 32768]
+            return _i16_mulaw_table()[wave.view(np.uint16)]
         return mulaw_encode(wave)
     raise ValueError(f"unknown wave codec {codec!r}; pick one of {CODECS}")
 
