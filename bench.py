@@ -601,6 +601,36 @@ def measure_mel_only() -> float:
 
 def main():
     _setup_jax_cache()
+
+    # Device-init watchdog: if the (possibly remote) backend cannot come
+    # up, emit a diagnostic JSON line instead of hanging forever — the
+    # axon tunnel has been observed to die and block PJRT client init
+    # indefinitely. jax.devices() runs in a daemon thread so a timed-out
+    # probe cannot keep the process alive.
+    import threading
+
+    came_up = []
+
+    def _probe():
+        import jax
+
+        jax.devices()
+        came_up.append(1)
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(timeout=float(os.environ.get("EAT_BENCH_INIT_TIMEOUT", "600")))
+    if not came_up:
+        print(json.dumps({
+            "metric": "10s-clip inferences/sec/chip (mn10_as, full pipeline)",
+            "value": 0.0,
+            "unit": "clips/s",
+            "vs_baseline": 0.0,
+            "extra": {"error": "device backend init timed out "
+                               "(tunnel/worker unreachable)"},
+        }))
+        return
+
     extra = {}
 
     def grab(name, fn, digits=2):
