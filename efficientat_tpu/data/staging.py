@@ -1,21 +1,23 @@
-"""Host staging pool: keep host->device transfers on warm, registered pages.
+"""Host staging pool: keep host->device transfers on warm pages.
 
-``jax.device_put`` from a freshly *mmapped* numpy buffer is pathologically
-slow on remote-device runtimes: every new virtual mapping pays per-page
-registration on the transfer path. Measured on this TPU (axon tunnel),
-putting the same 154 MB batch costs **9.1 s from a fresh allocation vs
-0.11 s from a reused buffer** — an 80x cliff — while merely allocating and
-filling the fresh buffer on the host takes 40 ms (so it is the transfer
-mapping, not host page faults). Data loaders hit the slow path every
-single batch: collate allocates fresh output arrays, and glibc munmaps
-freed blocks above the mmap threshold, so each batch arrives in a brand
-new mapping. This is the root cause of the "host-fed training 100x slower
-than device-only" symptom (the reference never sees it only because torch
-pins its DataLoader staging buffers, hiding the same cost).
+Measured on this TPU (axon tunnel), ``jax.device_put`` of the same
+154 MB batch costs **9.1 s from a fresh allocation vs 0.11 s from a
+reused buffer**. The decomposition (scripts/probe_transfer.py): ~7 s is
+transparent-huge-page first-touch on the fresh mapping (fixed
+process-wide by ``utils/host.py``), and the rest is the runtime's
+transfer path being slower from never-before-seen mappings. Data loaders
+hit the fresh-mapping case every single batch: collate allocates new
+output arrays and glibc munmaps freed blocks above the mmap threshold,
+so each batch arrives in a brand-new mapping. Together with the THP
+opt-out this closes the "host-fed training 100x slower than device-only"
+symptom (torch never shows it because its DataLoader pins staging
+buffers, hiding the same cost).
 
 ``HostStagingPool`` copies each outgoing batch into a small ring of
 persistent staging buffers (``np.copyto`` — memory-bound, ~40 ms for
-154 MB) and calls ``device_put`` on the warm buffer:
+154 MB) and calls ``device_put`` on the warm buffer — transfers then
+always read pages the runtime has already seen, independent of the
+allocator's behavior:
 
 - Overwrite-after-return is safe: ``device_put`` consumes the host buffer
   before returning (verified empirically — mutating the source right after

@@ -79,9 +79,9 @@ class Tagger:
             self.members.append((model, variables))
         self._jitted: Dict[Tuple[int, int], callable] = {}
         # staged transfers: device_put/jnp.asarray from a caller's fresh
-        # buffer is up to 80x slower on remote-device runtimes (per-mapping
-        # registration — see data/staging.py); serving traffic is exactly
-        # the repeated-fresh-buffer pattern
+        # buffer is up to 80x slower on remote-device runtimes (THP
+        # first-touch + fresh-mapping transfer path — see data/staging.py);
+        # serving traffic is exactly the repeated-fresh-buffer pattern
         from efficientat_tpu.data.staging import HostStagingPool
 
         self._staging = HostStagingPool()
