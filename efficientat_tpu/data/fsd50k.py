@@ -33,17 +33,23 @@ def _pick(d, stem):
 
 
 def _open(path, resample_rate, gain_augment=0, clip_length=10.0,
-          random_offset=True):
+          random_offset=True, wave_codec="f32"):
     return open_audio_hdf5(path, sample_rate=32000,
                            clip_length_seconds=clip_length,
                            resample_rate=resample_rate,
                            gain_augment=gain_augment, num_classes=NUM_CLASSES,
-                           random_offset_crop=random_offset)
+                           random_offset_crop=random_offset,
+                           wave_codec=wave_codec)
 
 
 def get_training_set(dataset_dir=None, resample_rate=32000, roll=True,
-                     wavmix=True, gain_augment=12):
-    ds = _open(_pick(_dir(dataset_dir), "FSD50K.train"), resample_rate, gain_augment)
+                     wavmix=True, gain_augment=12, wave_codec="f32"):
+    # coded transport needs the float augments off (raises otherwise)
+    if wave_codec != "f32" and wavmix:
+        raise ValueError(f"wave_codec={wave_codec!r} cannot be combined "
+                         "with wavmix (a host-side float blend)")
+    ds = _open(_pick(_dir(dataset_dir), "FSD50K.train"), resample_rate,
+               gain_augment, wave_codec=wave_codec)
     if roll:
         ds = PreprocessDataset(ds, roll_aug)
     if wavmix:

@@ -33,15 +33,21 @@ def _pick(d, stem):
     return os.path.join(d, stem + "_mp3.hdf")
 
 
-def _open(path, resample_rate, gain_augment=0):
+def _open(path, resample_rate, gain_augment=0, wave_codec="f32"):
     return open_audio_hdf5(path, sample_rate=32000, clip_length_seconds=10.0,
                            resample_rate=resample_rate,
-                           gain_augment=gain_augment, num_classes=40)
+                           gain_augment=gain_augment, num_classes=40,
+                           wave_codec=wave_codec)
 
 
 def get_training_set(dataset_dir=None, resample_rate=32000, roll=True,
-                     wavmix=True, gain_augment=12):
-    ds = _open(_pick(_dir(dataset_dir), "openmic_train"), resample_rate, gain_augment)
+                     wavmix=True, gain_augment=12, wave_codec="f32"):
+    # coded transport needs the float augments off (raises otherwise)
+    if wave_codec != "f32" and wavmix:
+        raise ValueError(f"wave_codec={wave_codec!r} cannot be combined "
+                         "with wavmix (a host-side float blend)")
+    ds = _open(_pick(_dir(dataset_dir), "openmic_train"), resample_rate,
+               gain_augment, wave_codec=wave_codec)
     if roll:
         ds = PreprocessDataset(ds, roll_aug)
     if wavmix:

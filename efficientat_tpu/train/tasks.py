@@ -118,6 +118,12 @@ class SyntheticAudioDataset(Dataset):
         return item
 
 
+def _wave_codec(args) -> str:
+    """--wave_codec, with --int16_waves as sugar (train/cli.py)."""
+    return (getattr(args, "wave_codec", None)
+            or ("i16" if getattr(args, "int16_waves", False) else "f32"))
+
+
 def build_datasets(spec: TaskSpec, args, eval_only: bool = False):
     """Returns (train_ds, sampler_or_None, eval_ds).
 
@@ -146,11 +152,7 @@ def build_datasets(spec: TaskSpec, args, eval_only: bool = False):
         train = m.get_full_training_set(d, args.resample_rate,
                                         roll=args.roll, wavmix=args.wavmix,
                                         gain_augment=args.gain_augment,
-                                        wave_codec=getattr(
-                                            args, "wave_codec", None)
-                                        or ("i16" if getattr(
-                                            args, "int16_waves", False)
-                                            else "f32"))
+                                        wave_codec=_wave_codec(args))
         sampler = m.get_ft_weighted_sampler(d, epoch_len=args.epoch_len)
         return train, sampler, m.get_test_set(d, args.resample_rate)
     if spec.name == "esc50":
@@ -167,7 +169,8 @@ def build_datasets(spec: TaskSpec, args, eval_only: bool = False):
         held_out = m.get_eval_set if split == "eval" else m.get_valid_set
         return (None if eval_only else
                 m.get_training_set(d, args.resample_rate, not args.no_roll,
-                                   not args.no_wavmix, args.gain_augment),
+                                   not args.no_wavmix, args.gain_augment,
+                                   wave_codec=_wave_codec(args)),
                 None,
                 held_out(d, args.resample_rate, args.variable_eval_length))
     if spec.name == "dcase20":
@@ -183,6 +186,7 @@ def build_datasets(spec: TaskSpec, args, eval_only: bool = False):
 
         return (None if eval_only else
                 m.get_training_set(d, args.resample_rate, not args.no_roll,
-                                   not args.no_wavmix, args.gain_augment),
+                                   not args.no_wavmix, args.gain_augment,
+                                   wave_codec=_wave_codec(args)),
                 None, m.get_test_set(d, args.resample_rate))
     raise KeyError(spec.name)
