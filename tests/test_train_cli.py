@@ -165,7 +165,7 @@ def test_fsd50k_real_split_wiring(monkeypatch, tmp_path):
     opened = []
 
     def fake_open(path, resample_rate, gain_augment=0, clip_length=10.0,
-                  random_offset=True):
+                  random_offset=True, wave_codec="f32"):
         opened.append(os.path.basename(path))
         return "ds"
 
