@@ -155,6 +155,10 @@ def build_datasets(spec: TaskSpec, args, eval_only: bool = False):
                                         wave_codec=_wave_codec(args))
         sampler = m.get_ft_weighted_sampler(d, epoch_len=args.epoch_len)
         return train, sampler, m.get_test_set(d, args.resample_rate)
+    if spec.name in ("esc50", "dcase20") and _wave_codec(args) != "f32":
+        raise ValueError("--wave_codec is only supported for HDF5-backed "
+                         "datasets (audioset/fsd50k/openmic); esc50/dcase20 "
+                         "load wav/csv sources host-side")
     if spec.name == "esc50":
         from efficientat_tpu.data import esc50 as m
 
