@@ -109,6 +109,28 @@ class _BaseHdf5Dataset(Dataset):
     def __len__(self):
         return self._len
 
+    # -- bulk-cached metadata -------------------------------------------
+    # audio_name/target are tiny per item but each h5py __getitem__ costs
+    # tens of microseconds of HDF5+Python overhead; one bulk read into
+    # process-shared numpy arrays removes 2 of the 3 per-item calls on the
+    # hot path. Targets stay in their raw on-disk form (packed uint8 for
+    # AudioSet: ~66 B/item) and are unpacked per access; a size guard
+    # keeps pathological float targets on disk.
+    _META_CACHE_MAX_BYTES = 1 << 30
+
+    def _meta(self):
+        meta = getattr(self, "_meta_cache", None)
+        if meta is None:
+            f = self.h5.file
+            names = f["audio_name"][...]
+            targets, has_target = None, "target" in f
+            if has_target:
+                d = f["target"]
+                if d.dtype.itemsize * d.size <= self._META_CACHE_MAX_BYTES:
+                    targets = d[...]
+            meta = self._meta_cache = (names, targets, has_target)
+        return meta
+
     def _decode(self, index: int) -> np.ndarray:
         raise NotImplementedError
 
@@ -120,8 +142,8 @@ class _BaseHdf5Dataset(Dataset):
         wave = pad_or_truncate(wave, self.clip_samples, rng,
                                self.random_offset_crop)
         wave = stride_resample(wave, self.sample_rate, self.resample_rate)
-        f = self.h5.file
-        name = f["audio_name"][index]
+        names, targets, has_target = self._meta()
+        name = names[index]
         if isinstance(name, bytes):
             name = name.decode()
         # filename normalization as the reference: strip 'Y' prefix + '.mp3'
@@ -130,8 +152,13 @@ class _BaseHdf5Dataset(Dataset):
             name = name[:-4]
         if name.startswith("Y"):
             name = name[1:]
-        target = _unpack_target(f["target"][index],
-                                self.num_classes or 0) if "target" in f else None
+        if targets is not None:
+            target = _unpack_target(targets[index], self.num_classes or 0)
+        elif has_target:  # over the cache size guard: stay on disk
+            target = _unpack_target(self.h5.file["target"][index],
+                                    self.num_classes or 0)
+        else:
+            target = None
         from efficientat_tpu.data.wavecodec import encode
 
         item = {"wave": encode(wave, self.wave_codec), "fname": name}

@@ -191,19 +191,23 @@ struct Bits {
         pos += n;
         return v;
     }
-    // Trie walk, one bit at a time. A 10-bit first-level LUT decode was
-    // measured SLOWER here (77 vs 92 clips/s on the 64 kbps bench clip):
-    // at audio-tagging bitrates most symbols are 1-3 bit codes, which the
-    // trie resolves in a couple of single-byte loads, while the LUT pays
-    // a 64-bit unaligned window load per symbol and 68 KB of tables.
+    // Trie walk fed from a single 24-bit peek (max code length 19). A
+    // 10-bit first-level LUT decode was measured SLOWER here (77 vs 92
+    // clips/s on the 64 kbps bench clip): at audio-tagging bitrates most
+    // symbols are 1-3 bit codes and the LUT pays 68 KB of tables; the
+    // register walk keeps the small trie but drops the per-bit byte
+    // loads and bounds checks of get1().
     int huff(const HuffTable& t) {
-        int node = 0;
-        for (int depth = 0; depth < 20; depth++) {
-            int32_t slot = t.trie[node * 2 + get1()];
-            if (slot == -0x7fffffff) return -1;
-            if (slot < 0) return ~slot;
+        uint32_t w = peek(24);
+        int node = 0, used = 0;
+        while (used < 20) {
+            int32_t slot = t.trie[node * 2 + ((w >> (23 - used)) & 1)];
+            used++;
+            if (slot == -0x7fffffff) break;
+            if (slot < 0) { pos += used; return ~slot; }
             node = slot;
         }
+        pos += used;
         return -1;
     }
 };
@@ -675,34 +679,30 @@ void alias_reduce(double* xr, const Granule& g) {
 
 // --------------------------------------------------- IMDCT + synthesis
 
-// Fast matrixing: v[i] = F(s, 32, 16+i) where
+// Fast matrixing: the polyphase needs v[i] = F(s, 32, 16+i), i in [0,64),
 //   F(s, N, m) = sum_{k<N} s[k] * cos(m * (2k+1) * pi / (2N)).
-// Computed by the even/odd recursion (Lee's DCT decomposition, applied to
-// the full period in m): even m halve directly, odd m divide by 2*cos of
-// the butterfly angle and split into two even evaluations. Templated on N
-// so the depth-5 recursion fully inlines into straight-line code: ~62
-// multiplies instead of the naive 64x32 = 2048.
-//   F(s,N,2r)   = F(a, N/2, r),            a[k] = s[k] + s[N-1-k]
-//   F(s,N,odd m)= F(u,N/2,(m+1)/2) + F(u,N/2,(m-1)/2),
-//                 u[k] = (s[k] - s[N-1-k]) / (2 cos((2k+1)pi/(2N)))
-// Outputs one full period in m (4N entries); children have period 2N.
+// F is 4N-periodic in m with F(64-m) = -F(m) and F(m) = -F(m-64), so the
+// 64 values fold onto F(m), m in [0,32] (and F(32) = 0): compute ONLY the
+// 32 base outputs with Lee's recursive DCT-II split (~80 multiplies, no
+// full-period shuffle), then fan out by exact IEEE negation:
+//   X[2r]   = A[r],                 a[k] = s[k] + s[N-1-k]
+//   X[2r+1] = U[r] + U[r+1],        u[k] = (s[k] - s[N-1-k])
+//   X[N-1]  = U[N/2-1]                     / (2 cos((2k+1)pi/(2N)))
+// Templated on N so the depth-5 recursion fully inlines.
 template <int N>
-struct DctPeriod {
-    static inline void run(const double* s, double* out /* 4N */) {
+struct Dct2 {
+    static inline void run(const double* s, double* X /* N */) {
         constexpr int H = N / 2;
-        double a[H], u[H], ga[2 * N], gu[2 * N];
+        double a[H], u[H], A[H], U[H];
         for (int k = 0; k < H; k++) {
             a[k] = s[k] + s[N - 1 - k];
             u[k] = (s[k] - s[N - 1 - k]) * half_sec(k);
         }
-        DctPeriod<H>::run(a, ga);
-        DctPeriod<H>::run(u, gu);
-        constexpr int P = 2 * N;  // child period
-        for (int m = 0; m < 4 * N; m += 2) {
-            out[m] = ga[(m / 2) % P];
-            const int mo = m + 1;
-            out[mo] = gu[((mo + 1) / 2) % P] + gu[((mo - 1) / 2) % P];
-        }
+        Dct2<H>::run(a, A);
+        Dct2<H>::run(u, U);
+        for (int r = 0; r < H; r++) X[2 * r] = A[r];
+        for (int r = 0; r + 1 < H; r++) X[2 * r + 1] = U[r] + U[r + 1];
+        X[N - 1] = U[H - 1];
     }
     static inline double half_sec(int k) {
         static const struct Tab {
@@ -718,10 +718,8 @@ struct DctPeriod {
 };
 
 template <>
-struct DctPeriod<1> {
-    static inline void run(const double* s, double* out /* 4 */) {
-        out[0] = s[0]; out[1] = 0.0; out[2] = -s[0]; out[3] = 0.0;
-    }
+struct Dct2<1> {
+    static inline void run(const double* s, double* X) { X[0] = s[0]; }
 };
 
 struct ChannelState {
@@ -744,6 +742,21 @@ struct ChannelState {
         double ts_t[18][32];
         for (int sb = 0; sb < 32; sb++) {
             const double* spec = xr + 18 * sb;
+            bool zero = true;
+            for (int k = 0; k < 18; k++)
+                if (spec[k] != 0.0) { zero = false; break; }
+            if (zero) {
+                // IMDCT of an all-zero subband is zero: emit the pending
+                // overlap and clear it. At typical AudioSet bitrates most
+                // upper subbands take this path (rzero region).
+                const bool flip = sb & 1;
+                for (int i = 0; i < 18; i++) {
+                    double s = overlap[sb][i];
+                    overlap[sb][i] = 0.0;
+                    ts_t[i][sb] = (flip && (i & 1)) ? -s : s;
+                }
+                continue;
+            }
             int bt = g.block_type;
             if (bt == 2 && g.mixed && sb < 2) bt = 0;
             // IMDCT outputs have the standard phase symmetries (verified
@@ -798,23 +811,23 @@ struct ChannelState {
             v_pos = (v_pos + 1024 - 64) & 1023;
             double* slot = v + v_pos;  // [v_pos, v_pos+64) never wraps
             const double* s = ts_t[t];
-            double f[128];  // F(s, 32, m) over one full period in m
-            DctPeriod<32>::run(s, f);
-            // v[i] = nmat[i] . s = F(s, 32, 16+i); 16+63 < 128, no wrap
-            std::memcpy(slot, f + 16, 64 * sizeof(double));
-            double u[512];
-            for (int j = 0; j < 8; j++) {
-                std::memcpy(u + j * 64, v + ((v_pos + j * 128) & 1023),
-                            32 * sizeof(double));
-                std::memcpy(u + j * 64 + 32,
-                            v + ((v_pos + j * 128 + 96) & 1023),
-                            32 * sizeof(double));
-            }
+            double X[32];  // F(s, 32, m), m in [0,32)
+            Dct2<32>::run(s, X);
+            // v[i] = F(s, 32, 16+i) via the fold (F(32)=0 at i=16)
+            for (int i = 0; i < 16; i++) slot[i] = X[16 + i];
+            slot[16] = 0.0;
+            for (int i = 17; i < 48; i++) slot[i] = -X[48 - i];
+            for (int i = 48; i < 64; i++) slot[i] = -X[i - 48];
+            // window MAC straight off the ring (each 32-double chunk is
+            // wrap-free, see the v[] invariant above) — no staging copy
             double acc[32] = {};
-            for (int i = 0; i < 16; i++) {
-                const double* up = u + 32 * i;
-                const double* wp = T.dwin + 32 * i;
-                for (int j = 0; j < 32; j++) acc[j] += up[j] * wp[j];
+            for (int j = 0; j < 8; j++) {
+                const double* u0 = v + ((v_pos + j * 128) & 1023);
+                const double* u1 = v + ((v_pos + j * 128 + 96) & 1023);
+                const double* w0 = T.dwin + 64 * j;
+                const double* w1 = w0 + 32;
+                for (int i = 0; i < 32; i++) acc[i] += u0[i] * w0[i];
+                for (int i = 0; i < 32; i++) acc[i] += u1[i] * w1[i];
             }
             for (int j = 0; j < 32; j++) out[t * 32 + j] = (float)acc[j];
         }
@@ -843,8 +856,14 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
 
     std::vector<ChannelState> state(nch);
     std::vector<std::vector<float>> pcm(nch);
+    // ~1152 samples per frame of frame_len bytes; presize to skip regrows
+    const int64_t flen_est = fi.frame_len > 0 ? fi.frame_len : 96;
+    for (int ch = 0; ch < nch; ch++)
+        pcm[ch].reserve((size_t)(n_bytes / flen_est + 2) * 1152);
     std::vector<uint8_t> reservoir;
     reservoir.reserve(4096);
+    std::vector<uint8_t> md;  // reused across frames
+    md.reserve(8192);
 
     int free_base = 0;  // free-format frame size (excl. padding), lazy
     while (true) {
@@ -901,7 +920,6 @@ int eat_mp3_decode(const uint8_t* data, int64_t n_bytes, float** out,
         const uint8_t* main = frame + off + side_len;
         int main_len = f2.frame_len - off - side_len;
 
-        std::vector<uint8_t> md;
         bool decodable = si.main_data_begin <= (int)reservoir.size();
         if (decodable) {
             md.assign(reservoir.end() - si.main_data_begin, reservoir.end());
