@@ -160,6 +160,29 @@ def test_pcm_hdf5_roundtrip(tmp_path):
     np.testing.assert_allclose(item["wave"][:5000], waves[0][:5000], atol=4e-5)
 
 
+def test_hdf5_meta_cache_size_guard(tmp_path):
+    """Items read identically whether targets come from the bulk metadata
+    cache or (over the size guard) per-item from disk."""
+    path = str(tmp_path / "toy_pcm.hdf")
+    rng = np.random.default_rng(3)
+    waves = [rng.normal(scale=0.1, size=6000).astype(np.float32)
+             for _ in range(3)]
+    targets = np.packbits((rng.random((3, 527)) > 0.9).astype(np.uint8), axis=1)
+    write_pcm_hdf5(path, waves, targets, ["Ya.mp3", "Yb.mp3", "Yc.mp3"])
+
+    cached = open_audio_hdf5(path, clip_length_seconds=0.25, num_classes=527)
+    on_disk = open_audio_hdf5(path, clip_length_seconds=0.25, num_classes=527)
+    on_disk._META_CACHE_MAX_BYTES = 0  # force the over-guard path
+    for i in range(3):
+        a = cached.get(i, np.random.default_rng(7))
+        b = on_disk.get(i, np.random.default_rng(7))
+        assert a["fname"] == b["fname"]
+        np.testing.assert_array_equal(a["target"], b["target"])
+        np.testing.assert_array_equal(a["wave"], b["wave"])
+    assert on_disk._meta()[1] is None  # guard actually kept targets on disk
+    assert cached._meta()[1] is not None
+
+
 def test_esc50_fixture(tmp_path):
     root = tmp_path / "esc50"
     (root / "meta").mkdir(parents=True)
