@@ -37,9 +37,9 @@ def pad_or_truncate(x: np.ndarray, audio_length: Optional[int],
                     random_offset: bool = False) -> np.ndarray:
     """Zero-pad to length, or cut (front cut, or random-offset crop when
     ``random_offset`` — FSD50K's behavior, datasets/fsd50k.py:50-59)."""
-    if audio_length is None:
+    if audio_length is None or len(x) == audio_length:
         return x
-    if len(x) <= audio_length:
+    if len(x) < audio_length:
         return np.concatenate(
             [x, np.zeros(audio_length - len(x), dtype=x.dtype)])
     if random_offset and rng is not None:
@@ -64,6 +64,18 @@ class _LazyH5:
             f = h5py.File(self.path, "r")
             self._local.f = f
         return f
+
+    def dataset(self, key: str):
+        """Per-thread cached h5py Dataset: ``file[key]`` builds a fresh
+        wrapper object each call (~0.3 ms — as long as the read itself
+        for small items), so the hot read path caches it."""
+        cache = getattr(self._local, "dsets", None)
+        if cache is None:
+            cache = self._local.dsets = {}
+        d = cache.get(key)
+        if d is None:
+            d = cache[key] = self.file[key]
+        return d
 
 
 class _BaseHdf5Dataset(Dataset):
@@ -155,7 +167,7 @@ class _BaseHdf5Dataset(Dataset):
         if targets is not None:
             target = _unpack_target(targets[index], self.num_classes or 0)
         elif has_target:  # over the cache size guard: stay on disk
-            target = _unpack_target(self.h5.file["target"][index],
+            target = _unpack_target(self.h5.dataset("target")[index],
                                     self.num_classes or 0)
         else:
             target = None
@@ -173,7 +185,7 @@ class MP3Hdf5Dataset(_BaseHdf5Dataset):
     def _decode(self, index):
         from efficientat_tpu.data.audio_io import decode_mp3
 
-        blob = np.asarray(self.h5.file["mp3"][index]).tobytes()
+        blob = np.asarray(self.h5.dataset("mp3")[index]).tobytes()
         pcm, _sr = decode_mp3(blob)
         return pcm.reshape(-1)
 
@@ -182,7 +194,7 @@ class PCMHdf5Dataset(_BaseHdf5Dataset):
     audio_key = "pcm"
 
     def _decode(self, index):
-        pcm = np.asarray(self.h5.file["pcm"][index])
+        pcm = np.asarray(self.h5.dataset("pcm")[index])
         if pcm.dtype == np.int16:
             if self.wave_codec != "f32":  # encode() takes int16 directly
                 return pcm
