@@ -102,8 +102,10 @@ def measure_mn10() -> float:
 
     mel_cfg = MelConfig()
     model = MN(MNConfig())
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 128, 1000, 1), jnp.float32))
+    from efficientat_tpu.utils.common import host_init
+
+    variables = host_init(model, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
     def fwd(variables, waves, eps):
         mel = log_mel_spectrogram_fused(waves + eps, mel_cfg)
@@ -123,8 +125,10 @@ def measure_dymn10(batch=BATCH, iters=ITERS) -> float:
 
     mel_cfg = MelConfig()
     model = DyMN(DyMNConfig(t_max=1.0))
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 128, 1000, 1), jnp.float32))
+    from efficientat_tpu.utils.common import host_init
+
+    variables = host_init(model, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
     from efficientat_tpu.infer.microbatch import DYMN_MICRO_BATCH, microbatched
 
@@ -155,8 +159,10 @@ def measure_dymn10_served(batch=256, iters=8) -> float:
 
     mel_cfg = MelConfig()
     model = DyMN(DyMNConfig(t_max=1.0))
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 128, 1000, 1), jnp.float32))
+    from efficientat_tpu.utils.common import host_init
+
+    variables = host_init(model, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 1000, 1), jnp.float32))
     mdb = DYMN_MAX_DEVICE_BATCH
 
     @jax.jit
@@ -391,8 +397,10 @@ def measure_windowed() -> float:
     wave = rng.normal(size=(int(clip_seconds * SR),)).astype(np.float32) * 0.1
     windows = jnp.asarray(window_signal(wave, 10 * SR, int(2.5 * SR)))
     model = DyMN(DyMNConfig(t_max=1.0))
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 128, 1000, 1), jnp.float32))
+    from efficientat_tpu.utils.common import host_init
+
+    variables = host_init(model, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
     def fwd(variables, w, eps):
         mel = log_mel_spectrogram_fused(w + eps, mel_cfg)
@@ -428,8 +436,10 @@ def measure_ensemble2(batch=32, iters=8) -> float:
     mn40 = MN(MNConfig(width_mult=4.0))
     dymn20 = DyMN(DyMNConfig(width_mult=2.0, t_max=1.0))
     x0 = jnp.zeros((1, 128, 1000, 1), jnp.float32)
-    v1 = mn40.init(jax.random.PRNGKey(1), x0)
-    v2 = dymn20.init(jax.random.PRNGKey(2), x0)
+    from efficientat_tpu.utils.common import host_init
+
+    v1 = host_init(mn40, jax.random.PRNGKey(1), x0)
+    v2 = host_init(dymn20, jax.random.PRNGKey(2), x0)
     waves = jnp.asarray(np.random.default_rng(0).normal(
         size=(batch, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
 

@@ -72,8 +72,10 @@ class Tagger:
                     name, num_classes=num_classes, model_dir=model_dir, dtype=dtype)
             else:
                 model, spec = build_model(name, num_classes=num_classes, dtype=dtype)
-                variables = model.init(
-                    jax.random.PRNGKey(i),
+                from efficientat_tpu.utils.common import host_init
+
+                variables = host_init(
+                    model, jax.random.PRNGKey(i),
                     jnp.zeros((1, self.mel_cfg.n_mels, 64, 1), jnp.float32))
                 warnings.warn(f"{name}: using random weights (pretrained=False)")
             self.members.append((model, variables))

@@ -321,8 +321,10 @@ def load_pretrained(
     drop_head = ckpt_classes != cfg.num_classes
     variables = convert(sd, cfg, drop_head=drop_head)
     if drop_head:
-        fresh = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 128, 64, cfg.in_channels), jnp.float32))
+        from efficientat_tpu.utils.common import host_init
+
+        fresh = host_init(model, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 64, cfg.in_channels), jnp.float32))
         fresh = jax.tree.map(np.asarray, fresh)
         _merge_fresh_head(variables, fresh, cfg)
     variables = jax.tree.map(jnp.asarray, variables)

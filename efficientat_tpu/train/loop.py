@@ -64,7 +64,9 @@ def make_optimizer(max_lr_schedule, weight_decay: float = 0.0, adamw: bool = Fal
 
 
 def create_train_state(model, rng, tx, input_shape=(1, 128, 1000, 1)) -> TrainState:
-    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32))
+    from efficientat_tpu.utils.common import host_init
+
+    variables = host_init(model, rng, jnp.zeros(input_shape, jnp.float32))
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

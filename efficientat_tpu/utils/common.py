@@ -60,3 +60,26 @@ def NAME_TO_WIDTH(name: str) -> float:
         return _MN_WIDTHS[name[:4]]
     except (KeyError, AttributeError):
         return 1.0
+
+
+def host_init(model, rngs, *args, **kwargs):
+    """``model.init`` pinned to the local CPU backend.
+
+    Eager flax init dispatches one tiny XLA program per parameter; on a
+    remote-accelerator backend (e.g. a TPU behind a network tunnel) that is
+    hundreds of round trips — minutes for DyMN — and ``jax.jit(init)``
+    merely trades them for one minutes-slow remote compile. Param init is
+    trivial compute, so run it eagerly on the (always-present) host CPU
+    backend; the resulting arrays transfer to the accelerator on first use.
+    Falls back to a plain init if no CPU backend exists. JAX PRNG is
+    backend-deterministic, so the values are bit-identical either way.
+    """
+    import jax
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return model.init(rngs, *args, **kwargs)
+    with jax.default_device(cpu):
+        variables = model.init(rngs, *args, **kwargs)
+    return variables

@@ -46,7 +46,7 @@ def main():
         flags = {f: True for f in parts[1:]}
         dtype = jnp.dtype(dtype_name)
         model = DyMN(DyMNConfig(t_max=1.0, **flags), dtype=dtype)
-        variables = model.init(jax.random.PRNGKey(0),
+        variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
         from _bench_util import time_device

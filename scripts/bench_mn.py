@@ -40,7 +40,7 @@ def main():
     ]
     for tag, width, dtype, batch in cases:
         model = MN(MNConfig(width_mult=width), dtype=dtype)
-        variables = model.init(jax.random.PRNGKey(0),
+        variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
         waves = jnp.asarray(
             rng.normal(size=(batch, CLIP * SR)).astype(np.float32) * 0.1)

@@ -70,7 +70,7 @@ def main():
         "mn10": (MN(MNConfig()), ()),
         "dymn10": (DyMN(DyMNConfig(t_max=1.0)), (False, 1.0)),
     }.items():
-        variables = model.init(jax.random.PRNGKey(0),
+        variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
         variables = jax.device_put(variables)
 

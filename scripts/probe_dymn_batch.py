@@ -113,7 +113,7 @@ def probe_model():
                      ("no_dyrelu", {"no_dyrelu": True}),
                      ("no_ca", {"no_ca": True})]:
         model = DyMN(DyMNConfig(t_max=1.0, **kw))
-        variables = model.init(jax.random.PRNGKey(0),
+        variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
         for B in (64, 256):
             x = jnp.asarray(rng.normal(size=(B, 128, 1000, 1)).astype(np.float32))
