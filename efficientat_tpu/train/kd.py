@@ -14,14 +14,21 @@ from typing import Sequence, Tuple
 
 import numpy as np
 
+# Published PaSST-ensemble teacher assets (reference ex_audioset.py:24-27);
+# download both into resources/ to reproduce the reference KD training.
+PREDS_URL = ("https://github.com/fschmid56/EfficientAT/releases/download/"
+             "v0.0.1/passt_enemble_logits_mAP_495.npy")
+FNAME_TO_INDEX_URL = ("https://github.com/fschmid56/EfficientAT/releases/"
+                      "download/v0.0.1/fname_to_index.pkl")
+
 
 class TeacherStore:
     def __init__(self, preds_path: str, fname_to_index_path: str,
                  temperature: float = 1.0):
         if not os.path.isfile(preds_path):
             raise FileNotFoundError(
-                f"teacher predictions not found: {preds_path} (download "
-                "passt_enemble_logits_mAP_495.npy from the reference release)")
+                f"teacher predictions not found: {preds_path} "
+                f"(download {PREDS_URL})")
         logits = np.load(preds_path)
         self.preds = (1.0 / (1.0 + np.exp(-logits / temperature))).astype(np.float32)
         with open(fname_to_index_path, "rb") as f:

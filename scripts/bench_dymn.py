@@ -17,6 +17,8 @@ import numpy as np
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+from efficientat_tpu.utils.common import host_init
+
 BATCH = 64
 ITERS = 16
 SR = 32000
@@ -46,7 +48,7 @@ def main():
         flags = {f: True for f in parts[1:]}
         dtype = jnp.dtype(dtype_name)
         model = DyMN(DyMNConfig(t_max=1.0, **flags), dtype=dtype)
-        variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
+        variables = host_init(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
         from _bench_util import time_device

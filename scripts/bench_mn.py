@@ -12,6 +12,8 @@ import numpy as np
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+from efficientat_tpu.utils.common import host_init
+
 SR = 32000
 CLIP = 10
 
@@ -40,7 +42,7 @@ def main():
     ]
     for tag, width, dtype, batch in cases:
         model = MN(MNConfig(width_mult=width), dtype=dtype)
-        variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
+        variables = host_init(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
         waves = jnp.asarray(
             rng.normal(size=(batch, CLIP * SR)).astype(np.float32) * 0.1)

@@ -19,6 +19,8 @@ import numpy as np
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+from efficientat_tpu.utils.common import host_init
+
 SR = 32000
 CLIP = 10
 BATCH = 64
@@ -70,7 +72,7 @@ def main():
         "mn10": (MN(MNConfig()), ()),
         "dymn10": (DyMN(DyMNConfig(t_max=1.0)), (False, 1.0)),
     }.items():
-        variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
+        variables = host_init(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
         variables = jax.device_put(variables)
 

@@ -18,6 +18,8 @@ import numpy as np
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+from efficientat_tpu.utils.common import host_init
+
 SR = 32000
 
 
@@ -44,7 +46,7 @@ def main():
     windows = window_signal(wave, int(window_s * SR), int(hop_s * SR))
     n_win = windows.shape[0]
     model = DyMN(DyMNConfig(t_max=1.0))
-    variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
+    variables = host_init(model, jax.random.PRNGKey(0),
                            jnp.zeros((1, 128, 1000, 1), jnp.float32))
 
     from _bench_util import time_device
@@ -67,8 +69,10 @@ def main():
     batch = 64
     mn40 = MN(MNConfig(width_mult=4.0))
     dymn20 = DyMN(DyMNConfig(width_mult=2.0, t_max=1.0))
-    v1 = jax.jit(mn40.init)(jax.random.PRNGKey(1), jnp.zeros((1, 128, 1000, 1), jnp.float32))
-    v2 = jax.jit(dymn20.init)(jax.random.PRNGKey(2), jnp.zeros((1, 128, 1000, 1), jnp.float32))
+    v1 = host_init(mn40, jax.random.PRNGKey(1),
+                   jnp.zeros((1, 128, 1000, 1), jnp.float32))
+    v2 = host_init(dymn20, jax.random.PRNGKey(2),
+                   jnp.zeros((1, 128, 1000, 1), jnp.float32))
     waves = jnp.asarray(rng.normal(size=(batch, 10 * SR)).astype(np.float32) * 0.1)
 
     def fwd_ens(v1, v2, waves, eps):

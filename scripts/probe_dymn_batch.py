@@ -31,6 +31,8 @@ import numpy as np
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
+from efficientat_tpu.utils.common import host_init
+
 
 def _timeit(fn, *args, iters=12):
     import jax
@@ -113,7 +115,7 @@ def probe_model():
                      ("no_dyrelu", {"no_dyrelu": True}),
                      ("no_ca", {"no_ca": True})]:
         model = DyMN(DyMNConfig(t_max=1.0, **kw))
-        variables = __import__("efficientat_tpu.utils.common", fromlist=["host_init"]).host_init(model, jax.random.PRNGKey(0),
+        variables = host_init(model, jax.random.PRNGKey(0),
                                jnp.zeros((1, 128, 1000, 1), jnp.float32))
         for B in (64, 256):
             x = jnp.asarray(rng.normal(size=(B, 128, 1000, 1)).astype(np.float32))
