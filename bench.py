@@ -20,7 +20,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 Timing notes for this environment: the TPU is remote (axon tunnel);
 ``block_until_ready`` does not flush the remote pipeline, so timing chains
-every iteration into a scalar accumulator and fetches it to host once. A
+every iteration into a scalar accumulator and fetches it to host once, and
+device rates come from the slope of an n- vs 3n-iteration run so the
+tunnel's constant dispatch+fetch round trip cancels (``_slope_rate``; the
+``env_*`` extras record that constant so link health is always visible). A
 persistent compilation cache avoids re-paying the (minutes-slow) remote
 compile across runs.
 
@@ -62,15 +65,40 @@ def _setup_jax_cache():
         pass
 
 
+def _slope_rate(run, args, iters, units_per_iter):
+    """Throughput from the SLOPE of two on-device loop timings.
+
+    ``run(*args, n)`` loops n iterations on device (lax.fori_loop with a
+    traced trip count — one compiled program for every n) and returns a
+    scalar. Timing one call measures device time PLUS a constant
+    dispatch+fetch round trip; on this remote-TPU tunnel that constant is
+    ~0.4 s on a good day and multiple seconds on a sick one (r3 shipped a
+    2.7x "regression" that was exactly this constant inflating). The
+    difference of an n and a 3n run cancels the constant, leaving pure
+    per-iteration device time — which IS the steady-state chip rate:
+    production pipelines dispatch asynchronously and never pay the round
+    trip per batch."""
+    t0 = time.perf_counter()
+    total = float(run(*args, iters))
+    t_short = time.perf_counter() - t0
+    assert np.isfinite(total)
+    t0 = time.perf_counter()
+    total = float(run(*args, 3 * iters))
+    t_long = time.perf_counter() - t0
+    assert np.isfinite(total)
+    per_iter = max((t_long - t_short) / (2 * iters), 1e-9)
+    return units_per_iter / per_iter
+
+
 def _infer_cps(model_apply, variables, batch=BATCH, iters=ITERS):
     """Full-pipeline inference clips/s for a (variables, waves)->scalar fn.
 
     The iteration loop runs ON DEVICE (lax.fori_loop inside one jit): a
     single dispatch + one scalar fetch per timing run, so the measurement
-    reflects device throughput, not host dispatch latency (which on this
-    remote-TPU tunnel — or any loaded host — would otherwise dominate).
-    The per-iteration eps perturbation keeps every iteration's input
-    distinct so nothing in the stack can dedup work."""
+    reflects device throughput, not host dispatch latency. The
+    per-iteration eps perturbation keeps every iteration's input distinct
+    so nothing in the stack can dedup work. Rate comes from the two-point
+    slope (see _slope_rate) so the tunnel's constant round trip cancels."""
     import jax
     import jax.numpy as jnp
 
@@ -85,11 +113,7 @@ def _infer_cps(model_apply, variables, batch=BATCH, iters=ITERS):
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(run(variables, waves, 2))  # compile + warm up
-    t0 = time.perf_counter()
-    total = float(run(variables, waves, iters))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(total)
-    return batch * iters / dt
+    return _slope_rate(run, (variables, waves), iters, batch)
 
 
 def measure_mn10() -> float:
@@ -238,12 +262,8 @@ def measure_kd_train(model_kind="mn", batch=TRAIN_BATCH, iters=TRAIN_ITERS) -> f
 
     _, loss = run(state, batch_data, key, 2)  # compile + warm up
     float(loss)
-    t0 = time.perf_counter()
-    _, loss = run(state, batch_data, key, iters)
-    total = float(loss)
-    dt = time.perf_counter() - t0
-    assert np.isfinite(total)
-    return batch * iters / dt
+    return _slope_rate(lambda s, b, k, n: run(s, b, k, n)[1],
+                       (state, batch_data, key), iters, batch)
 
 
 HOSTFED_DIR = os.path.join(HERE, ".bench_hostfed")
@@ -406,11 +426,7 @@ def measure_windowed() -> float:
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(run(variables, windows, 2))
-    t0 = time.perf_counter()
-    total = float(run(variables, windows, ITERS))
-    dt = (time.perf_counter() - t0) / ITERS
-    assert np.isfinite(total)
-    return clip_seconds / dt
+    return _slope_rate(run, (variables, windows), ITERS, clip_seconds)
 
 
 def measure_ensemble2(batch=32, iters=8) -> float:
@@ -449,11 +465,7 @@ def measure_ensemble2(batch=32, iters=8) -> float:
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(run(v1, v2, waves, 2))
-    t0 = time.perf_counter()
-    total = float(run(v1, v2, waves, iters))
-    dt = time.perf_counter() - t0
-    assert np.isfinite(total)
-    return batch * iters / dt
+    return _slope_rate(run, (v1, v2, waves), iters, batch)
 
 
 def measure_decode_scaling(nthreads: int, n_clips: int = 64) -> float:
@@ -648,11 +660,7 @@ def measure_mel_only() -> float:
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     float(run(waves, 2))
-    t0 = time.perf_counter()
-    total = float(run(waves, ITERS))
-    dt = (time.perf_counter() - t0) / ITERS
-    assert np.isfinite(total)
-    return dt * 1e3
+    return 1e3 / _slope_rate(run, (waves,), ITERS, 1.0)
 
 
 def main():
@@ -770,8 +778,14 @@ def main():
     t0 = time.perf_counter()
     import jax.numpy as jnp
 
-    float(jax.jit(lambda x: (x @ x).sum())(jnp.ones((128, 128))))
+    tiny = jax.jit(lambda x: (x @ x).sum())
+    float(tiny(jnp.ones((128, 128))))
     extra["env_first_dispatch_s"] = round(time.perf_counter() - t0, 2)
+    # warm dispatch = the constant per-call round trip every wall-clock
+    # row pays (compile excluded); the slope-timed rows cancel it
+    t0 = time.perf_counter()
+    float(tiny(jnp.ones((128, 128))))
+    extra["env_warm_dispatch_s"] = round(time.perf_counter() - t0, 3)
 
     # the self-test first: a wrong kernel must be visible in every run
     try:
