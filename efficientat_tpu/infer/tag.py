@@ -38,6 +38,18 @@ class Tagger:
         batch over ``data`` — per-chip parameter memory stays flat and the
         only communication is one logit psum (parallel/ensemble.py).
         Heterogeneous ensembles fall back to the replicated path.
+
+    Transport policy
+    ----------------
+    ``predict`` accepts float32, int16 PCM, or mu-law uint8 waves
+    (data/wavecodec.py; decoded in-program on device). REMOTE callers —
+    anything where the request crosses a network or narrow PCIe link —
+    should encode with ``wavecodec.encode(waves, "mulaw8")``: a B=256
+    request drops from 328 MB to 82 MB, and on a bandwidth-bound link the
+    served rate scales with it (measured 4.5x at B=256 on a ~100 MB/s
+    tunnel, BENCH r4: 89 vs 20 clips/s). Use ``i16`` when the source is
+    already int16 PCM (exact, 2x). Local callers with the array in host
+    RAM can pass float32 — the transfer is not the bottleneck there.
     """
 
     def __init__(
