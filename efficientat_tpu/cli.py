@@ -201,7 +201,12 @@ def _run_rf(args):
 def _setup_compilation_cache():
     """Persistent XLA compilation cache (DyMN first-compiles run minutes;
     subsequent runs hit the cache). Opt out with EATPU_NO_COMPILE_CACHE=1,
-    relocate with EATPU_COMPILE_CACHE_DIR."""
+    relocate with EATPU_COMPILE_CACHE_DIR.
+
+    Enabled for ACCELERATOR backends only: XLA:CPU's serialized-executable
+    reload has been observed to abort() on reruns of SPMD programs the
+    same host cached moments earlier (see tests/conftest.py) — on CPU a
+    recompile is always sound, so the cache stays off there."""
     import os
 
     if os.environ.get("EATPU_NO_COMPILE_CACHE"):
@@ -209,6 +214,8 @@ def _setup_compilation_cache():
     try:
         import jax
 
+        if jax.default_backend() == "cpu":
+            return
         cache = os.environ.get(
             "EATPU_COMPILE_CACHE_DIR",
             os.path.join(os.path.expanduser("~"), ".cache", "eatpu_xla"))
@@ -219,7 +226,6 @@ def _setup_compilation_cache():
 
 
 def main(argv=None):
-    _setup_compilation_cache()
     parser = argparse.ArgumentParser(prog="efficientat_tpu",
                                      description=__doc__,
                                      formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -233,6 +239,10 @@ def main(argv=None):
     _add_rf(sub)
 
     args, extra = parser.parse_known_args(argv)
+    # after parsing so --help/usage errors never touch the backend (the
+    # cpu-vs-accelerator check below initializes it, which on a tunneled
+    # TPU costs seconds)
+    _setup_compilation_cache()
     if getattr(args, "passthrough", False):
         return args.fn(args, extra)
     if extra:

@@ -16,24 +16,25 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
-# Persistent compilation cache (same .jax_cache dir the benches use): the
-# compile-heavy model/convert/dryrun tests go from minutes to seconds on a
-# warm cache. The env vars alone are too late here (sitecustomize imports
-# jax at interpreter startup), so config.update is required in-process; the
-# env vars are still exported for the dryrun_multichip re-exec subprocess,
-# where they ARE early enough.
-_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_CACHE = os.path.join(_HERE, ".jax_cache")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+# NO persistent compilation cache for the CPU test suite. It was enabled
+# here once (r4) and had to be ripped out: XLA:CPU's serialized-executable
+# cache is UNSOUND on this stack — an 8-device SPMD train-step program
+# (test_train_step_bce_kd_on_mesh) compiles fresh and passes, then the
+# very same entry loaded back from disk by the next process dies in a
+# silent abort() (SIGILL class; jax 0.9.0, same host that wrote it —
+# reproduced 3x, including on a cache written from scratch by one clean
+# run). A test tier that passes on its first run and SIGABRTs on every
+# rerun is strictly worse than a slower tier, so the fast tier gets its
+# speed from test sizing (tiny widths/shapes, `-m "not slow"`), not from
+# caching. The TPU benches keep their persistent cache: TPU executables
+# take a different (re)load path and have round-tripped across r2-r4
+# sessions without a single fault.
+if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    del os.environ["JAX_COMPILATION_CACHE_DIR"]
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
