@@ -7,10 +7,11 @@ PYTEST := python -m pytest -q
 
 .PHONY: fast slow test contract precommit native
 
-# fast tier: everything not marked slow — target < 5 min on a warm
-# .jax_cache (tests/conftest.py wires the persistent compile cache)
+# fast tier: everything not marked slow — ~6 min cold on a 1-core host
+# (always cold: the CPU persistent compile cache is disabled on purpose,
+# see tests/conftest.py — its speed comes from tiny widths/shapes)
 fast:
-	$(PYTEST) tests/ -m "not slow"
+	$(PYTEST) tests/ -m "not slow" --durations=20
 
 slow:
 	$(PYTEST) tests/ -m slow

@@ -47,6 +47,7 @@ def _assert_tree_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_save_restore_roundtrip_bit_identical(tmp_path):
     model, state = _tiny_state()
     state = _step(model, state, 1)  # non-trivial opt moments + BN stats

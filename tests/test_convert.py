@@ -60,6 +60,7 @@ def test_mn_convert_matches_torch_oracle(width):
     np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(), rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_mn_fc_head_convert_matches_oracle():
     cfg = MNConfig(width_mult=0.4, num_classes=9, head_type="fully_convolutional")
     sd = make_mn_state_dict(cfg, seed=3)
@@ -96,6 +97,7 @@ def test_dymn_convert_matches_torch_oracle(temperature):
     np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(), rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_dymn_replace_se_convert_matches_oracle():
     cfg = DyMNConfig(width_mult=0.4, num_classes=7, use_dy_blocks="replace_se")
     sd = make_dymn_state_dict(cfg, seed=8)
@@ -151,6 +153,7 @@ def _mn_parity(cfg, seed, shape=(1, 1, 128, 32), rtol=1e-3, atol=1e-4):
                                rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow
 def test_mn_mha_head_convert_matches_oracle():
     """models/mn/attention_pooling.py:9-56 conversion + forward parity."""
     cfg = MNConfig(width_mult=0.4, num_classes=9,
@@ -159,6 +162,7 @@ def test_mn_mha_head_convert_matches_oracle():
 
 
 @pytest.mark.parametrize("strides", [(2, 2, 2, 1), (2, 2, 1, 1)])
+@pytest.mark.slow
 def test_mn_fc_stride_variants_match_oracle(strides):
     """mn10_as_fc_s2221 / s2211 configs (models/mn/model.py:254-265)."""
     cfg = MNConfig(width_mult=0.4, num_classes=9, head_type="fully_convolutional",
@@ -166,11 +170,13 @@ def test_mn_fc_stride_variants_match_oracle(strides):
     _mn_parity(cfg, seed=21)
 
 
+@pytest.mark.slow
 def test_mn_reduced_tail_matches_oracle():
     cfg = MNConfig(width_mult=0.4, num_classes=9, reduced_tail=True)
     _mn_parity(cfg, seed=22)
 
 
+@pytest.mark.slow
 def test_mn_dilated_matches_oracle():
     """dilated=True: C4 blocks use dilation 2 with stride forced to 1
     (models/mn/model.py:241-265)."""
@@ -222,6 +228,7 @@ def test_every_registry_spec_converts_and_matches_init():
                           path=name)
 
 
+@pytest.mark.slow
 def test_file_level_checkpoint_pipeline(tmp_path):
     """The FULL on-disk checkpoint path, no network: torch.save a
     reference-style state_dict under the registry filename in a tmp

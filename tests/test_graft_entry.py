@@ -6,8 +6,10 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     import __graft_entry__
 
@@ -17,6 +19,7 @@ def test_entry_compiles_and_runs():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_two_devices():
     import __graft_entry__
 

@@ -58,6 +58,7 @@ def tiny_tagger():
     return Tagger("mn04_as", pretrained=False)
 
 
+@pytest.mark.slow
 def test_tagger_predict_and_tag(tiny_tagger):
     probs = tiny_tagger.predict(np.zeros((2, 32000), np.float32))
     assert probs.shape == (2, 527)
@@ -67,6 +68,7 @@ def test_tagger_predict_and_tag(tiny_tagger):
     assert all(isinstance(l, str) and 0 <= p <= 1 for l, p in tags)
 
 
+@pytest.mark.slow
 def test_windowed_tagging(tiny_tagger):
     res = tag_audio_window(tiny_tagger, DEMO_WAV, window_size=4.0, hop_length=2.0,
                            top_k=3)
@@ -76,6 +78,7 @@ def test_windowed_tagging(tiny_tagger):
     assert len(res[0]["tags"]) == 3
 
 
+@pytest.mark.slow
 def test_windowed_chunked_equals_unchunked(tiny_tagger):
     full = tag_audio_window(tiny_tagger, DEMO_WAV, 4.0, 2.0, top_k=3)
     chunked = tag_audio_window(tiny_tagger, DEMO_WAV, 4.0, 2.0, top_k=3, max_batch=2)
@@ -92,6 +95,7 @@ def test_ensemble_mel_config_mismatch_raises():
         Tagger(["mn04_as", "mn10_as_mels_256"], pretrained=False)
 
 
+@pytest.mark.slow
 def test_ensemble_consistent_mel_configs_ok():
     t = Tagger(["mn04_as", "mn05_as"], pretrained=False)
     probs = t.predict(np.zeros((1, 32000), np.float32))
@@ -99,6 +103,7 @@ def test_ensemble_consistent_mel_configs_ok():
     assert np.isfinite(probs).all()
 
 
+@pytest.mark.slow
 def test_tagger_member_parallel_mesh_matches_replicated():
     """Same-arch ensemble with a (data, model) mesh == replicated path."""
     from efficientat_tpu.parallel import make_mesh
@@ -117,6 +122,7 @@ def test_tagger_member_parallel_mesh_matches_replicated():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tagger_heterogeneous_mesh_falls_back():
     from efficientat_tpu.parallel import make_mesh
 
@@ -129,6 +135,7 @@ def test_tagger_heterogeneous_mesh_falls_back():
     assert probs.shape == (2, 527)
 
 
+@pytest.mark.slow
 def test_predict_accepts_coded_waves():
     """Tagger.predict on int16 / mu-law uint8 waves (in-program decode,
     data/wavecodec.py) must track the float32 predictions; separate

@@ -31,6 +31,7 @@ def test_pallas_supported_configs():
 @pytest.mark.parametrize("n_samples,hop,batch", [
     (32000, 320, 2), (320000, 320, 2), (64000, 640, 2),
     (32100, 320, 2), (65000, 640, 2), (96000, 320, 1)])
+@pytest.mark.slow
 def test_fused_matches_xla_path(n_samples, hop, batch):
     cfg = MelConfig(hopsize=hop)
     rng = np.random.default_rng(0)
@@ -50,6 +51,7 @@ def test_fused_dropin_falls_back():
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_training_masks_interpret():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -63,6 +65,7 @@ def test_fused_training_masks_interpret():
     assert (out == 0.9).sum() > 0  # SpecAugment fill value present
 
 
+@pytest.mark.slow
 def test_fused_sharded_over_mesh_interpret():
     """shard_map'd kernel over a 4-device CPU mesh == XLA path."""
     from jax.experimental.pallas import tpu as pltpu
@@ -82,6 +85,7 @@ def test_fused_sharded_over_mesh_interpret():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_fused_bf16x3_accuracy():
     """The default 3-pass split-operand DFT GEMM must stay within 2e-3 of
     the fp32 XLA path on null-heavy signals (measured on-chip: 1e-3 max,

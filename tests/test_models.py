@@ -48,6 +48,7 @@ def test_dymn_param_counts_match_reference_table(width, expected_m):
     assert abs(count - expected_m) / expected_m < 0.005, (count, expected_m)
 
 
+@pytest.mark.slow
 def test_mn_forward_shapes():
     model = MN(MNConfig())
     variables, x = init_model(model, shape=(2, 128, 100, 1))
@@ -56,6 +57,7 @@ def test_mn_forward_shapes():
     assert emb.shape == (2, 960)  # 6 * 160 for width 1.0
 
 
+@pytest.mark.slow
 def test_mn_heads():
     for head in ["fully_convolutional", "multihead_attention_pooling"]:
         model = MN(MNConfig(width_mult=0.4, head_type=head, num_classes=50))
@@ -64,6 +66,7 @@ def test_mn_heads():
         assert logits.shape == (1, 50), head
 
 
+@pytest.mark.slow
 def test_mn_se_dims_variants():
     # SE over channel+frequency with avg fusion must build and run
     model = MN(MNConfig(width_mult=0.4, se_dims="cf", se_agg="avg", input_dim_t=100))
@@ -72,6 +75,7 @@ def test_mn_se_dims_variants():
     assert logits.shape == (1, 527)
 
 
+@pytest.mark.slow
 def test_mn_train_mode_updates_batch_stats():
     model = MN(MNConfig(width_mult=0.4, num_classes=10))
     variables, x = init_model(model, train=True)
@@ -83,6 +87,7 @@ def test_mn_train_mode_updates_batch_stats():
     assert any(not np.allclose(o, n) for o, n in zip(old, new))
 
 
+@pytest.mark.slow
 def test_dymn_forward_shapes():
     model = DyMN(DyMNConfig(num_classes=17))
     variables, _ = init_model(model, shape=(2, 128, 64, 1))
@@ -91,6 +96,7 @@ def test_dymn_forward_shapes():
     assert l1.shape == (2, 17) and emb.shape == (2, 960)
 
 
+@pytest.mark.slow
 def test_dynamic_conv_temperature_effect():
     """Softmax temperature over the K kernel banks changes the mixing.
     (Full torch-oracle parity incl. temperature is in test_convert.py.)"""
@@ -122,6 +128,7 @@ def test_dymn_temperature_schedule():
     assert 1.0 <= t < 2.0
 
 
+@pytest.mark.slow
 def test_dymn_replace_se_mask():
     model = DyMN(DyMNConfig(width_mult=0.4, use_dy_blocks="replace_se", num_classes=10))
     variables, x = init_model(model)
@@ -134,6 +141,7 @@ def test_dymn_replace_se_mask():
     assert logits.shape == (1, 10)
 
 
+@pytest.mark.slow
 def test_dymn_ablation_switches():
     model = DyMN(DyMNConfig(width_mult=0.4, no_dyconv=True, no_dyrelu=True, no_ca=True, num_classes=5))
     variables, x = init_model(model)
@@ -141,6 +149,7 @@ def test_dymn_ablation_switches():
     assert logits.shape == (1, 5)
 
 
+@pytest.mark.slow
 def test_ensemble_mixed_families():
     cfgs = (MNConfig(width_mult=0.4, num_classes=12), DyMNConfig(width_mult=0.4, num_classes=12))
     model = Ensemble(cfgs)
@@ -168,6 +177,7 @@ def test_mn_jit_forward():
     assert logits.shape == (2, 8)
 
 
+@pytest.mark.slow
 def test_remat_is_numerically_transparent():
     """remat=True (jax.checkpoint per block) must not change forward logits
     or training gradients — only the backward memory/FLOP tradeoff."""
@@ -209,6 +219,7 @@ def test_remat_is_numerically_transparent():
                                        rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_microbatched_apply_equals_full_batch():
     """Model-level micro-batching (the DyMN serving batch-cliff fix,
     infer/microbatch.py) must be numerically identical to one full-batch
@@ -232,6 +243,7 @@ def test_microbatched_apply_equals_full_batch():
 
 
 @pytest.mark.parametrize("ks,stride,c", [(3, 2, 64), (3, 1, 480), (5, 2, 672)])
+@pytest.mark.slow
 def test_dynamic_depthwise_lowerings_agree(ks, stride, c):
     """The channel-multiplier form (static banks, mix outputs) must equal
     the mixed-kernel grouped fold — both are the same linear op."""
@@ -249,6 +261,7 @@ def test_dynamic_depthwise_lowerings_agree(ks, stride, c):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dynamic_pointwise_forms_agree():
     """The three pointwise DynamicConv lowerings (per_sample batched
     matmul, shared_out one-GEMM, shared_in expand-GEMM) are the same

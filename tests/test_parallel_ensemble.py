@@ -15,6 +15,7 @@ from efficientat_tpu.parallel.ensemble import (
 
 
 @pytest.mark.parametrize("n_dev,model_axis,n_members", [(4, 4, 4), (4, 2, 4)])
+@pytest.mark.slow
 def test_member_parallel_matches_sequential(n_dev, model_axis, n_members):
     cfg = MNConfig(width_mult=0.4, num_classes=17)
     model = MN(cfg)

@@ -132,6 +132,7 @@ def tiny_state(model, lr=1e-3):
                               input_shape=(1, 128, MEL.num_frames(WAVE_LEN), 1))
 
 
+@pytest.mark.slow
 def test_train_step_bce_kd_on_mesh():
     model = MN(MNConfig(width_mult=0.4, num_classes=10))
     state = tiny_state(model)
@@ -162,6 +163,7 @@ def test_train_step_bce_kd_on_mesh():
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_dymn_on_mesh_matches_single_device():
     """DyMN under the 8-device data-parallel mesh must produce the same
     logits and train loss as one device: the dynamic depthwise fold merges
@@ -212,6 +214,7 @@ def test_dymn_on_mesh_matches_single_device():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_train_step_ce_and_masked_bce():
     model = MN(MNConfig(width_mult=0.4, num_classes=6))
     state = tiny_state(model)
@@ -236,6 +239,7 @@ def test_train_step_ce_and_masked_bce():
     assert np.isfinite(float(m3["train_loss"]))
 
 
+@pytest.mark.slow
 def test_train_and_eval_dymn():
     model = DyMN(DyMNConfig(width_mult=0.4, num_classes=5))
     state = tiny_state(model)
@@ -279,6 +283,7 @@ def test_synthetic_teacher_store_is_process_stable():
     np.testing.assert_array_equal(valid, np.ones(2, np.float32))
 
 
+@pytest.mark.slow
 def test_teacher_store_real_format(tmp_path):
     """TeacherStore on the reference's actual on-disk KD format
     (ex_audioset.py:104-118): a .npy of raw teacher LOGITS sharpened to
@@ -327,6 +332,7 @@ def test_teacher_store_real_format(tmp_path):
     assert float(m1["distillation_loss"]) == float(m2["distillation_loss"])
 
 
+@pytest.mark.slow
 def test_training_converges_on_separable_task():
     """End-to-end learning signal: 30 steps on a class-separable synthetic
     batch must reduce the BCE loss several-fold and fit the labels (the
@@ -361,6 +367,7 @@ def test_training_converges_on_separable_task():
     assert losses[-1] < losses[0] / 3, (losses[0], losses[-1])
 
 
+@pytest.mark.slow
 def test_train_step_int16_wave_parity():
     """An int16 wave batch (data/hdf5.py int16_waves transport) must
     produce the same step as the dequantized float32 batch. The math is
@@ -393,6 +400,7 @@ def test_train_step_int16_wave_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
 
 
+@pytest.mark.slow
 def test_dymn_training_converges_on_separable_task():
     """DyMN end-to-end learning signal (the flagship family): 30 steps on
     a tone-separable batch must cut BCE several-fold — pins that the

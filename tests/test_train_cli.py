@@ -28,6 +28,7 @@ def test_train_esc50_synthetic_roundtrip(tmp_path):
     assert "accuracy" in metrics and np.isfinite(metrics["val_loss"])
 
 
+@pytest.mark.slow
 def test_train_openmic_masked_synthetic(tmp_path):
     metrics_state = run_train(
         "openmic", ["--synthetic", "4", "--batch_size", "2", "--n_epochs", "1",
@@ -36,6 +37,7 @@ def test_train_openmic_masked_synthetic(tmp_path):
     assert int(metrics_state.step) == 2
 
 
+@pytest.mark.slow
 def test_train_dcase_mixstyle_synthetic(tmp_path):
     state = run_train(
         "dcase20", ["--synthetic", "4", "--batch_size", "2", "--n_epochs", "1",
@@ -45,6 +47,7 @@ def test_train_dcase_mixstyle_synthetic(tmp_path):
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_mesh_shrink_warns_loudly(tmp_path):
     """An odd batch size must not silently serialize onto fewer devices
     (train/cli.py mesh-gcd logic): a loud warning states the effective
@@ -64,6 +67,7 @@ def test_mesh_shrink_warns_loudly(tmp_path):
                             "--ckpt_dir", str(tmp_path / "b")])
 
 
+@pytest.mark.slow
 def test_masked_pooling_full_length_equals_unmasked():
     import jax
     import jax.numpy as jnp
@@ -98,6 +102,7 @@ def test_masked_pooling_full_length_equals_unmasked():
     np.testing.assert_allclose(np.asarray(got)[1], want1, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_variable_eval_fsd50k_style(tmp_path):
     """Bucketed masked variable-length eval runs end-to-end."""
     from efficientat_tpu.data.core import Dataset
@@ -219,6 +224,7 @@ def _randomize_variables(variables, seed):
     return jax.tree.map(jitter, variables)
 
 
+@pytest.mark.slow
 def test_masked_variable_eval_exact():
     """Bucket-padded masked eval must EQUAL the exact-shape forward (the
     reference's batch-1 baseline, ex_fsd50k.py:73-77) to fp32 rounding:
@@ -258,6 +264,7 @@ def test_masked_variable_eval_exact():
         assert dev < 5e-4 * max(1.0, np.abs(exact).max()), (sec, dev)
 
 
+@pytest.mark.slow
 def test_masked_variable_eval_exact_dymn():
     """Same exactness contract for DyMN (ContextGen time pooling, dynamic
     convs, CoordAtt all masked)."""
@@ -292,6 +299,7 @@ def test_masked_variable_eval_exact_dymn():
     assert dev < 5e-4 * max(1.0, np.abs(exact).max()), dev
 
 
+@pytest.mark.slow
 def test_audioset_train_eval_on_real_format_mp3_hdf5(tmp_path):
     """Full AudioSet path on the reference's real on-disk format: mp3-in-HDF5
     (vlen bytes + packed-bit targets), decoded by the first-party C++
@@ -343,7 +351,29 @@ def test_audioset_train_eval_on_real_format_mp3_hdf5(tmp_path):
     assert "mAP" in metrics and 0.0 <= metrics["mAP"] <= 1.0
     assert np.isfinite(metrics["val_loss"])
 
+    # convert-dataset through the real CLI (cli.py convert-dataset): the
+    # loader prefers the *_pcm.hdf conversion when present (audioset._paths)
+    from efficientat_tpu.cli import main as cli_main
 
+    for stem in ("balanced_train_segments", "unbalanced_train_segments",
+                 "eval_segments"):
+        cli_main(["convert-dataset",
+                  "--src", str(tmp_path / f"{stem}_mp3.hdf"),
+                  "--dst", str(tmp_path / f"{stem}_pcm.hdf")])
+        assert os.path.exists(tmp_path / f"{stem}_pcm.hdf")
+
+    # --resume one more epoch on the PCM conversion: step counter continues
+    # from the orbax checkpoint (utils/checkpointing.py), and the resumed
+    # optimizer state keeps training the same params (loss stays finite)
+    state2 = run_train("audioset", argv + ["--resume", "--n_epochs", "2"])
+    assert int(state2.step) == 4
+    m2 = run_evaluate("audioset", [
+        "--dataset_dir", str(tmp_path), "--batch_size", "2",
+        "--model_width", "0.1", "--num_workers", "2", "--kd_lambda", "0.0"])
+    assert np.isfinite(m2["val_loss"])
+
+
+@pytest.mark.slow
 def test_audioset_train_int16_waves_cli(tmp_path):
     """--int16_waves end-to-end: PCM-HDF5 splits -> int16 collate ->
     device dequantize in the train step (the half-bandwidth transport,
