@@ -77,17 +77,48 @@ def _slope_rate(run, args, iters, units_per_iter):
     difference of an n and a 3n run cancels the constant, leaving pure
     per-iteration device time — which IS the steady-state chip rate:
     production pipelines dispatch asynchronously and never pay the round
-    trip per batch."""
-    t0 = time.perf_counter()
-    total = float(run(*args, iters))
-    t_short = time.perf_counter() - t0
-    assert np.isfinite(total)
-    t0 = time.perf_counter()
-    total = float(run(*args, 3 * iters))
-    t_long = time.perf_counter() - t0
-    assert np.isfinite(total)
-    per_iter = max((t_long - t_short) / (2 * iters), 1e-9)
-    return units_per_iter / per_iter
+    trip per batch.
+
+    The slope is only trusted when it clearly dominates the round-trip
+    jitter: (t_long - t_short) must be >= 1 s AND >= 25% of t_short,
+    else the iteration count triples and the pair is re-measured (the
+    trip count is a traced scalar, so no recompile). Without this guard a
+    jittery tunnel can yield t_long <= t_short and a clamped denominator
+    reported 1.28e11 clips/s for a ~1.2e3 row (BENCH r4 probe). TWO
+    accepted pairs are taken and the FASTER rate wins: timing noise on a
+    shared tunnel/host is strictly additive, so the best slope is the
+    closest to device truth (an r4 stage run under host contention
+    measured the same MN train step at 130.7 ms that a clean session
+    measured at 71.6 — scripts/probe_train_overhead.py). After
+    ``max_tries`` the long run's wall rate is returned instead — a lower
+    bound that still includes one round trip, never an absurd number."""
+    t_long = iters_long = None
+    best = None
+    accepted = 0
+    for _ in range(4):  # max_tries
+        t0 = time.perf_counter()
+        total = float(run(*args, iters))
+        t_short = time.perf_counter() - t0
+        assert np.isfinite(total)
+        t0 = time.perf_counter()
+        total = float(run(*args, 3 * iters))
+        t_long = time.perf_counter() - t0
+        iters_long = 3 * iters
+        assert np.isfinite(total)
+        dt = t_long - t_short
+        if dt >= max(1.0, 0.25 * t_short):
+            rate = units_per_iter * (2 * iters) / dt
+            best = rate if best is None else max(best, rate)
+            accepted += 1
+            if accepted == 2:
+                return best
+        else:
+            iters *= 3
+    if best is not None:
+        return best
+    print("slope fallback: rate includes one round-trip constant "
+          "(lower bound)", file=sys.stderr)
+    return units_per_iter * iters_long / t_long
 
 
 def _infer_cps(model_apply, variables, batch=BATCH, iters=ITERS):
@@ -139,7 +170,61 @@ def measure_mn10() -> float:
     return _infer_cps(fwd, variables)
 
 
-def measure_dymn10(batch=BATCH, iters=ITERS) -> float:
+def measure_mn10_bf16() -> float:
+    """MN10 serving with bf16 compute (fp32 params, fp32 mel front-end —
+    the mel matmul stays pinned fp32 per the reference's autocast carve-out,
+    models/preprocess.py:56-57). On the MXU bf16 halves the pass count of
+    every conv; the probability drift vs the fp32 path is recorded by
+    measure_bf16_drift so the speed is never quoted without its cost."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.models import MN, MNConfig
+    from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
+    from efficientat_tpu.ops.melspec import MelConfig
+    from efficientat_tpu.utils.common import host_init
+
+    mel_cfg = MelConfig()
+    model = MN(MNConfig(), dtype=jnp.bfloat16)
+    variables = host_init(model, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 1000, 1), jnp.float32))
+
+    def fwd(variables, waves, eps):
+        mel = log_mel_spectrogram_fused(waves + eps, mel_cfg)
+        logits, _ = model.apply(variables, mel[..., None])
+        return jnp.sum(jax.nn.sigmoid(logits.astype(jnp.float32)))
+
+    return _infer_cps(fwd, variables)
+
+
+def measure_bf16_drift() -> float:
+    """max |sigmoid(bf16 logits) - sigmoid(fp32 logits)| on one batch —
+    the accuracy price of the bf16 serving row, same weights both paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientat_tpu.models import MN, MNConfig
+    from efficientat_tpu.ops.mel_pallas import log_mel_spectrogram_fused
+    from efficientat_tpu.ops.melspec import MelConfig
+    from efficientat_tpu.utils.common import host_init
+
+    mel_cfg = MelConfig()
+    m32 = MN(MNConfig())
+    m16 = MN(MNConfig(), dtype=jnp.bfloat16)
+    variables = host_init(m32, jax.random.PRNGKey(0),
+                          jnp.zeros((1, 128, 1000, 1), jnp.float32))
+    rng = np.random.default_rng(7)
+    waves = jnp.asarray(
+        rng.normal(size=(16, CLIP_SECONDS * SR)).astype(np.float32) * 0.1)
+
+    @jax.jit
+    def both(variables, waves):
+        mel = log_mel_spectrogram_fused(waves, mel_cfg)[..., None]
+        p32 = jax.nn.sigmoid(m32.apply(variables, mel)[0])
+        p16 = jax.nn.sigmoid(m16.apply(variables, mel)[0].astype(jnp.float32))
+        return jnp.max(jnp.abs(p32 - p16))
+
+    return float(both(variables, waves))
     import jax
     import jax.numpy as jnp
 
@@ -796,6 +881,15 @@ def main():
 
     mn_cps = measure_mn10()
     result["value"] = mn_cps
+    # vs_baseline immediately after the headline (it is disk-cached after
+    # the first run): a deadline-abort must not zero it — the r4 probe
+    # emitted vs_baseline 0.0 because this ran last and the abort hit first
+    try:
+        result["vs"] = mn_cps / measure_cpu_baseline()
+    except Exception as e:
+        print(f"cpu baseline failed: {e}", file=sys.stderr)
+    grab("mn10_as_bf16_clips_per_s", measure_mn10_bf16)
+    grab("mn10_as_bf16_prob_drift", measure_bf16_drift, 5)
     grab("dymn10_as_infer_clips_per_s", measure_dymn10)
     grab("dymn10_as_infer_clips_per_s_b128", lambda: measure_dymn10(batch=128))
     grab("dymn10_as_served_clips_per_s_b256", measure_dymn10_served)
@@ -827,11 +921,6 @@ def main():
     grab("ensemble2_mn40_dymn20_clips_per_s_b32", measure_ensemble2)
     grab("fused_mel_ms_per_b64_batch", measure_mel_only, 3)
 
-    try:
-        cpu_cps = measure_cpu_baseline()
-        result["vs"] = mn_cps / cpu_cps
-    except Exception as e:
-        print(f"cpu baseline failed: {e}", file=sys.stderr)
     result["done"] = True
     emit()
 
