@@ -27,6 +27,30 @@ DynamicConv lowering (dy_block.py:44-131), chosen by on-chip measurement
 The DynamicConv softmax temperature anneals per epoch
 (dy_block.py:133-139); it is passed in as a traced scalar so changing it
 never recompiles.
+
+Train-step cost attribution (TPU v5e, B=120, slope-timed best-of-2 —
+reproduce with ``scripts/bench_train_stages.py dymn[,ablation]``; r4
+sessions, cross-checked by ``scripts/probe_train_overhead.py``):
+
+    config            fwd_ms  fwd_bwd_ms  full_ms  clips/s
+    dymn10            65.2    210.2       209.8    571.9
+    dymn10,no_dyconv  18.1    57.0        90.8     1321.5
+    dymn10,no_dyrelu  65.8    203.8       —        —
+    dymn10,pw=shared_out 110.7 331.2      257.6    465.9
+    mn10 (reference)  17.8    52.7        81.6     1470.0
+
+i.e. ~75% of both forward and backward IS the dynamic-conv machinery
+(banks aggregation + batched pw matmuls + grouped depthwise fold);
+DyReLU+CoordAtt cost ~3%. The shared_out pointwise lowering is 1.6x
+WORSE at train shapes (it wins only at tiny serving micro-batches), so
+``per_sample`` stays the default. With the dyconv path at 3.7x the cost
+of the static convs it replaces (fwd 65.2 vs 18.1 ms) and every stage
+already matmul-shaped, the remaining gap to MN is the price of the
+per-sample weight banks themselves — a roofline consequence of K=4
+weight banks read per sample, not a lowering artifact. (The MN full
+step decomposes as fwd_bwd 52.7 + mel/mixup/KD ~5 + optimizer & weight
+carry ~20 ms — the carry cost is per-step weight relayout, measured by
+the probe's noopt vs noopt_carry variants, 58.2 vs 79.7 ms.)
 """
 
 from __future__ import annotations

@@ -78,13 +78,35 @@ def main():
     key = jax.random.PRNGKey(1)
 
     def timed(body_fn, carry0, iters=ITERS):
+        # slope of an n vs 3n device-chained run: the tunnel's constant
+        # dispatch+fetch round trip cancels (same method as bench.py
+        # _slope_rate). Best of TWO accepted pairs: timing noise is
+        # strictly additive, so the fastest slope is closest to device
+        # truth — a contended r4 host measured the MN full step at 130.7
+        # ms where a clean session measured 71.6 (probe_train_overhead).
         @jax.jit
         def run(n, carry0):
             return jax.lax.fori_loop(0, n, body_fn, carry0)
         jax.block_until_ready(run(2, carry0))
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(iters, carry0))
-        return (time.perf_counter() - t0) / iters
+        best = None
+        accepted = 0
+        for _ in range(4):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(iters, carry0))
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(3 * iters, carry0))
+            t_long = time.perf_counter() - t0
+            dt = t_long - t_short
+            if dt >= max(0.5, 0.2 * t_short):
+                per = dt / (2 * iters)
+                best = per if best is None else min(best, per)
+                accepted += 1
+                if accepted == 2:
+                    return best
+            else:
+                iters *= 3
+        return best if best is not None else t_long / (3 * iters)
 
     # mel (training mode)
     def mel_body(i, acc):
@@ -123,6 +145,34 @@ def main():
         return acc + loss + jax.tree.leaves(grads)[0].ravel()[0]
     dt = timed(bwd_body, jnp.float32(0.0))
     print(json.dumps({"stage": "fwd_bwd", "ms": round(dt * 1e3, 2)}), flush=True)
+
+    # mel+mixup+KD-loss fwd/bwd, NO optimizer/state update: isolates
+    # whether full_step - fwd_bwd overhead lives in the input pipeline
+    # (mel/mixup/KD loss) or in apply_gradients + state carry
+    from efficientat_tpu.ops.mel_pallas import (
+        log_mel_spectrogram_fused as _mel_fused)
+    from efficientat_tpu.train.augment import apply_mixup, mixup_coefficients
+
+    def loss_all_fn(params, i):
+        r = jax.random.fold_in(key, i)
+        r_mel, r_mix, r_drop = jax.random.split(r, 3)
+        mel = _mel_fused(batch["wave"], mel_cfg, training=True, rng=r_mel)
+        x = mel[..., None]
+        perm, lam = mixup_coefficients(r_mix, x.shape[0], loss_cfg.mixup_alpha)
+        x = apply_mixup(x, perm, lam)
+        logits, _, _ = _model_forward(model, params, state.batch_stats,
+                                      x, True, 1.0, r_drop)
+        loss, _ = _task_loss(loss_cfg, logits, batch, perm, lam)
+        return loss
+
+    gall = jax.value_and_grad(loss_all_fn)
+
+    def noopt_body(i, acc):
+        loss, grads = gall(state.params, i)
+        return acc + loss + jax.tree.leaves(grads)[0].ravel()[0]
+    dt = timed(noopt_body, jnp.float32(0.0))
+    print(json.dumps({"stage": "mel_mixup_kd_fwd_bwd", "ms": round(dt * 1e3, 2)}),
+          flush=True)
 
     # full step
     train_step = make_train_step(model, mel_cfg, loss_cfg)
