@@ -225,6 +225,9 @@ def measure_bf16_drift() -> float:
         return jnp.max(jnp.abs(p32 - p16))
 
     return float(both(variables, waves))
+
+
+def measure_dymn10(batch=BATCH, iters=ITERS) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -287,8 +290,15 @@ def measure_dymn10_served(batch=256, iters=8, codec="mulaw8") -> float:
     return batch * iters / dt
 
 
-def _kd_train_setup(model_kind="mn"):
+def _bf16():
+    import jax.numpy as jnp
+
+    return jnp.bfloat16
+
+
+def _kd_train_setup(model_kind="mn", dtype=None):
     import jax
+    import jax.numpy as jnp
 
     from efficientat_tpu.models import MN, MNConfig
     from efficientat_tpu.models.dymn import DyMN, DyMNConfig
@@ -301,10 +311,11 @@ def _kd_train_setup(model_kind="mn"):
     )
 
     mel_cfg = MelConfig(freqm=48, timem=192)
+    dtype = dtype or jnp.float32
     if model_kind == "dymn":
-        model = DyMN(DyMNConfig(t_max=30.0))
+        model = DyMN(DyMNConfig(t_max=30.0), dtype=dtype)
     else:
-        model = MN(MNConfig())
+        model = MN(MNConfig(), dtype=dtype)
     sched = per_epoch_schedule(exp_warmup_linear_down(8, 95, 80, 0.01),
                                8e-4, steps_per_epoch=833)
     state = create_train_state(model, jax.random.PRNGKey(0),
@@ -314,13 +325,16 @@ def _kd_train_setup(model_kind="mn"):
     return state, train_step
 
 
-def measure_kd_train(model_kind="mn", batch=TRAIN_BATCH, iters=TRAIN_ITERS) -> float:
+def measure_kd_train(model_kind="mn", batch=TRAIN_BATCH, iters=TRAIN_ITERS,
+                     dtype=None) -> float:
     """AudioSet KD train step (ex_audioset.py:135-199 semantics): mel with
     SpecAugment + filterbank jitter, mixup, forward/backward, miss-masked
-    KD soft loss, Adam + warmup/rampdown schedule."""
+    KD soft loss, Adam + warmup/rampdown schedule. ``dtype=bfloat16``
+    measures the mixed-precision recipe (`train/cli.py --bf16`): bf16
+    compute on the MXU, fp32 params/optimizer state."""
     import jax
     import jax.numpy as jnp
-    state, train_step = _kd_train_setup(model_kind)
+    state, train_step = _kd_train_setup(model_kind, dtype=dtype)
 
     rng = np.random.default_rng(0)
     batch_data = {
@@ -898,6 +912,13 @@ def main():
     grab("kd_train_step_clips_per_s_b120", measure_kd_train)
     grab("dymn_train_step_clips_per_s_b120",
          lambda: measure_kd_train("dymn", iters=4))
+    # the --bf16 recipe (train/cli.py): bf16 compute on the MXU, fp32
+    # master params/optimizer — measured 2553 (mn) / 620 (dymn) clips/s
+    # vs 1557 / 523 fp32 on 2026-08-19's session
+    grab("kd_train_step_bf16_clips_per_s_b120",
+         lambda: measure_kd_train("mn", iters=4, dtype=_bf16()))
+    grab("dymn_train_step_bf16_clips_per_s_b120",
+         lambda: measure_kd_train("dymn", iters=4, dtype=_bf16()))
     grab("kd_train_hostfed_mp3_clips_per_s",
          lambda: measure_kd_train_hostfed("mp3"))
     grab("kd_train_hostfed_pcm_clips_per_s",

@@ -128,7 +128,13 @@ class DynamicConv(nn.Module):
     def __call__(self, x, h_c, temperature):
         logits = nn.Dense(self.k, kernel_init=dense_init, dtype=self.dtype,
                           name="att")(h_c)
+        # softmax in f32 (temperature is an f32 scalar; K=4 logits cost
+        # nothing), then back to the compute dtype: without the cast the
+        # f32 ``att`` promotes every kernel-mixing einsum — and under
+        # bf16 the depthwise conv CRASHES on lax.conv's strict dtype
+        # match (bf16 x vs f32-promoted wb)
         att = jax.nn.softmax(logits / temperature, axis=-1)  # (B, K)
+        att = att.astype(self.dtype)
 
         ks = self.kernel_size
         fan_out = self.out_channels * ks * ks

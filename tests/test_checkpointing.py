@@ -29,16 +29,26 @@ def _tiny_state():
                                      input_shape=(1, 128, 50, 1))
 
 
+# one compiled step shared by every _step call in this module: re-wrapping
+# make_train_step's fresh closure in jax.jit defeats the jit cache, and on
+# this 1-core host each avoidable recompile of the full train graph
+# (mel + fwd/bwd + Adam) costs ~45 s of the fast tier
+_JITTED_STEP = None
+
+
 def _step(model, state, seed=0):
-    mel_cfg = MelConfig(freqm=0, timem=0)
-    ts = make_train_step(model, mel_cfg, LossConfig(kind="bce", mixup_alpha=0.0))
+    global _JITTED_STEP
+    if _JITTED_STEP is None:
+        mel_cfg = MelConfig(freqm=0, timem=0)
+        _JITTED_STEP = jax.jit(make_train_step(
+            model, mel_cfg, LossConfig(kind="bce", mixup_alpha=0.0)))
     rng = np.random.default_rng(seed)
     batch = {
         "wave": rng.normal(size=(2, 16000)).astype(np.float32) * 0.1,
         "target": (rng.random((2, 7)) > 0.5).astype(np.float32),
     }
-    state, _ = jax.jit(ts)(state, batch, jax.random.PRNGKey(seed),
-                           jnp.float32(1.0))
+    state, _ = _JITTED_STEP(state, batch, jax.random.PRNGKey(seed),
+                            jnp.float32(1.0))
     return state
 
 

@@ -115,6 +115,30 @@ def test_dynamic_conv_temperature_effect():
     assert float(jnp.max(jnp.abs(o1 - o30))) > 1e-3
 
 
+def test_dymn_bf16_traces_consistent_dtypes():
+    """dtype-promotion regression guard (trace-time only, no compile):
+    a bf16 DyMN must trace forward AND backward without f32 leaking into
+    conv operands — an f32-promoted DynamicConv ``att`` (temperature is an
+    f32 scalar) once crashed lax.conv with "bf16 x vs f32 wb", breaking
+    the --bf16 train path for every DyMN task."""
+    model = DyMN(DyMNConfig(width_mult=0.4, num_classes=7, t_max=30.0),
+                 dtype=jnp.bfloat16)
+    x = jnp.zeros((2, 128, 50, 1), jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+
+    def grad_of_sum(params, batch_stats):
+        def loss(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, False, 2.0)
+            return jnp.sum(logits.astype(jnp.float32))
+        return jax.grad(loss)(params)
+
+    g = jax.eval_shape(grad_of_sum, variables["params"],
+                       variables["batch_stats"])
+    # mixed-precision contract: grads land in the fp32 master-param dtype
+    assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(g))
+
+
 def test_dymn_temperature_schedule():
     cfg = DyMNConfig()
     # reference schedule (dy_block.py:133-139): T_max=30, slope 1 -> epoch 0: 30
