@@ -94,8 +94,9 @@ def main():
             t0 = time.perf_counter()
             jax.block_until_ready(run(iters, carry0))
             t_short = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(3 * iters, carry0))
+            iters_long = 3 * iters  # recorded BEFORE any retry-tripling so
+            t0 = time.perf_counter()  # the fallback divides by the count the
+            jax.block_until_ready(run(iters_long, carry0))  # run actually ran
             t_long = time.perf_counter() - t0
             dt = t_long - t_short
             if dt >= max(0.5, 0.2 * t_short):
@@ -106,7 +107,7 @@ def main():
                     return best
             else:
                 iters *= 3
-        return best if best is not None else t_long / (3 * iters)
+        return best if best is not None else t_long / iters_long
 
     # mel (training mode)
     def mel_body(i, acc):

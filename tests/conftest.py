@@ -35,6 +35,11 @@ if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The env-var delete above is a no-op when jax was already imported at
+# interpreter startup (this environment's sitecustomize does exactly that):
+# jax latches the env var into config at import time. Clear the latched
+# value too, or the unsound CPU cache silently re-enables (ADVICE r4).
+jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -29,19 +29,22 @@ def _tiny_state():
                                      input_shape=(1, 128, 50, 1))
 
 
-# one compiled step shared by every _step call in this module: re-wrapping
-# make_train_step's fresh closure in jax.jit defeats the jit cache, and on
-# this 1-core host each avoidable recompile of the full train graph
-# (mel + fwd/bwd + Adam) costs ~45 s of the fast tier
-_JITTED_STEP = None
+# one compiled step per MODEL CONFIG shared by every _step call in this
+# module: re-wrapping make_train_step's fresh closure in jax.jit defeats
+# the jit cache, and on this 1-core host each avoidable recompile of the
+# full train graph (mel + fwd/bwd + Adam) costs ~45 s of the fast tier.
+# Keyed by the config so a future test with a different model cannot
+# silently run the wrong train graph (ADVICE r4).
+_JITTED_STEPS = {}
 
 
 def _step(model, state, seed=0):
-    global _JITTED_STEP
-    if _JITTED_STEP is None:
+    key = model.cfg
+    if key not in _JITTED_STEPS:
         mel_cfg = MelConfig(freqm=0, timem=0)
-        _JITTED_STEP = jax.jit(make_train_step(
+        _JITTED_STEPS[key] = jax.jit(make_train_step(
             model, mel_cfg, LossConfig(kind="bce", mixup_alpha=0.0)))
+    _JITTED_STEP = _JITTED_STEPS[key]
     rng = np.random.default_rng(seed)
     batch = {
         "wave": rng.normal(size=(2, 16000)).astype(np.float32) * 0.1,

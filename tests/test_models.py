@@ -128,8 +128,12 @@ def test_dymn_bf16_traces_consistent_dtypes():
 
     def grad_of_sum(params, batch_stats):
         def loss(p):
+            # temperature must be a TRACED f32 scalar (what the train loop
+            # passes): a Python float stays weak-typed and never exercises
+            # the f32->bf16 promotion this test guards (ADVICE r4).
             logits, _ = model.apply(
-                {"params": p, "batch_stats": batch_stats}, x, False, 2.0)
+                {"params": p, "batch_stats": batch_stats}, x, False,
+                jnp.float32(2.0))
             return jnp.sum(logits.astype(jnp.float32))
         return jax.grad(loss)(params)
 
