@@ -101,16 +101,19 @@ def _dft_basis(n_fft: int, win_length: int) -> np.ndarray:
     return basis.astype(np.float32)
 
 
-def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, n_frames: int) -> jnp.ndarray:
-    """Extract centered, reflect-padded frames: (B, L) -> (B, n_frames, n_fft).
+def frame_signal(x: jnp.ndarray, n_fft: int, hop: int, n_frames: int,
+                 pad_mode: str = "reflect") -> jnp.ndarray:
+    """Extract centered frames: (B, L) -> (B, n_frames, n_fft).
 
+    ``pad_mode="reflect"`` matches torch.stft center=True; the folded-basis
+    path uses ``"constant"`` (zero pad) and patches the edge frames exactly.
     Uses a chunked strided-slice decomposition (chunk = gcd(hop, n_fft)) so
     no gather is emitted: the padded signal is reshaped into rows of
     ``chunk`` samples and each of the ``n_fft/chunk`` frame sub-blocks is a
     single strided slice.
     """
     pad = n_fft // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode=pad_mode)
     chunk = math.gcd(hop, n_fft)
     if chunk >= 16:
         b, lp = x.shape
@@ -155,6 +158,102 @@ def preemphasis(x: jnp.ndarray, coef: float = 0.97) -> jnp.ndarray:
     return x[:, 1:] - coef * x[:, :-1]
 
 
+@lru_cache(maxsize=8)
+def _folded_dft_basis(n_fft: int, win_length: int,
+                      coef: float = 0.97) -> np.ndarray:
+    """Pre-emphasis-folded windowed rDFT basis (n_fft, 2*(n_fft//2+1)).
+
+    For xe[t] = x[t+1] - coef*x[t] and a windowed basis b whose centered
+    window is zero at the frame edges (win_length < n_fft),
+    ``sum_m b[m,k]*xe[s+m] == sum_j B'[j,k]*x[s+j]`` with
+    ``B'[j,k] = b[j-1,k] - coef*b[j,k]`` (b[-1] := 0) — the boundary terms
+    vanish with the window. Built in float64 (the mel_pallas kernel proves
+    the fold: computing the difference signal in fp32 first loses ~4
+    digits on smooth audio, which log near the 1e-5 mel floor turns into
+    the r4 selftest's 2.6e-3 XLA-path deviation)."""
+    n_freq = n_fft // 2 + 1
+    w = np.zeros(n_fft, dtype=np.float64)
+    left = (n_fft - win_length) // 2
+    w[left:left + win_length] = hann_window(win_length)
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(n_freq, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    basis = np.concatenate([np.cos(ang) * w[:, None],
+                            np.sin(ang) * w[:, None]], axis=1)
+    shifted = np.vstack([np.zeros((1, basis.shape[1])), basis[:-1]])
+    return (shifted - coef * basis).astype(np.float32)
+
+
+def _edge_power(x_raw: jnp.ndarray, n_fft: int, hop: int, win_length: int,
+                left_f, right_f, coef: float = 0.97) -> jnp.ndarray:
+    """Exact reference-math power rows for the frames whose window overlaps
+    the reflect-pad region (the one place the folded-basis frames — which
+    see a zero pad — differ). Pre-emphasis + reflect pad + unfolded basis
+    on short slivers; <= a handful of frames per clip."""
+    pad = n_fft // 2
+    seg = 2 * n_fft
+    frames = []
+    if left_f:
+        s = x_raw[:, :seg]
+        xe = s[:, 1:] - coef * s[:, :-1]
+        xep = jnp.pad(xe, ((0, 0), (pad, 0)), mode="reflect")
+        for f in left_f:
+            frames.append(xep[:, f * hop: f * hop + n_fft])
+    if right_f:
+        s = x_raw[:, -seg:]
+        xe = s[:, 1:] - coef * s[:, :-1]
+        xep = jnp.pad(xe, ((0, 0), (0, pad)), mode="reflect")
+        base = x_raw.shape[1] - seg  # xe here starts at global xe index base
+        for f in right_f:
+            off = f * hop - pad - base
+            frames.append(xep[:, off: off + n_fft])
+    fr = jnp.stack(frames, axis=1)  # (B, n_edge, n_fft)
+    basis = jnp.asarray(_dft_basis(n_fft, win_length))
+    proj = jnp.einsum("ben,nk->bek", fr, basis,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    n_freq = n_fft // 2 + 1
+    return proj[..., :n_freq] ** 2 + proj[..., n_freq:] ** 2
+
+
+def stft_power_folded(x_raw: jnp.ndarray, n_fft: int, hop: int,
+                      win_length: int, coef: float = 0.97) -> jnp.ndarray:
+    """Power spectrogram of ``preemphasis(x_raw)`` WITHOUT materializing
+    the cancellation-prone difference signal: frames of the RAW waveform
+    against the folded basis (``_folded_dft_basis``), with the few
+    reflect-pad edge frames patched by the exact reference math.
+
+    (B, L) raw samples -> (B, (L-1)//hop + 1, n_fft//2+1). Identical math
+    to ``stft_power(preemphasis(x))`` in exact arithmetic; in fp32 it is
+    ~2 orders of magnitude closer to the float64 truth on smooth audio
+    (the mel_pallas fold, applied to the XLA fallback so every hop/mel
+    variant gets the accuracy, not just the kernel-supported configs)."""
+    len_xe = x_raw.shape[1] - 1
+    n_frames = len_xe // hop + 1
+    pad = n_fft // 2
+    frames = frame_signal(x_raw, n_fft, hop, n_frames, pad_mode="constant")
+    basis = jnp.asarray(_folded_dft_basis(n_fft, win_length, coef))
+    proj = jnp.einsum("btn,nk->btk", frames, basis,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    n_freq = n_fft // 2 + 1
+    power = proj[..., :n_freq] ** 2 + proj[..., n_freq:] ** 2
+
+    left_f = [f for f in range(n_frames) if f * hop < pad]
+    right_f = [f for f in range(n_frames) if f * hop + pad > len_xe]
+    if left_f or right_f:
+        edge = _edge_power(x_raw, n_fft, hop, win_length, left_f, right_f,
+                           coef)
+        nl = len(left_f)
+        if left_f:
+            power = jax.lax.dynamic_update_slice(power, edge[:, :nl],
+                                                 (0, 0, 0))
+        if right_f:
+            power = jax.lax.dynamic_update_slice(power, edge[:, nl:],
+                                                 (0, right_f[0], 0))
+    return power
+
+
 def _mask_axis(x: jnp.ndarray, rng: jax.Array, axis: int, mask_param: int) -> jnp.ndarray:
     """SpecAugment mask along ``axis`` of (B, F, T), iid per batch element.
 
@@ -190,8 +289,15 @@ def log_mel_spectrogram(
     if training and rng is None:
         raise ValueError("training=True requires an rng key")
 
-    x = preemphasis(waveform.astype(jnp.float32))
-    spec = stft_power(x, cfg.n_fft, cfg.hopsize, cfg.win_length)  # (B, T, F)
+    x32 = waveform.astype(jnp.float32)
+    if x32.shape[1] >= 2 * cfg.n_fft:
+        # folded-basis path: no fp32 pre-emphasis cancellation (see
+        # stft_power_folded) — works for EVERY hop/n_mels config
+        spec = stft_power_folded(x32, cfg.n_fft, cfg.hopsize, cfg.win_length)
+    else:
+        # clips shorter than the edge-patch slivers: reference-order math
+        x = preemphasis(x32)
+        spec = stft_power(x, cfg.n_fft, cfg.hopsize, cfg.win_length)
 
     fmin = jnp.asarray(cfg.fmin, dtype=jnp.float32)
     fmax = jnp.asarray(cfg.effective_fmax, dtype=jnp.float32)
