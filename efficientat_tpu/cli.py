@@ -73,7 +73,8 @@ def _run_windowed(args):
 
 def _add_train(sub):
     p = sub.add_parser("train", help="Train / fine-tune on a task preset")
-    p.add_argument("task", choices=["audioset", "esc50", "fsd50k", "dcase20", "openmic"])
+    p.add_argument("task", choices=["audioset", "audioset_pl", "esc50",
+                                    "fsd50k", "dcase20", "openmic"])
     p.set_defaults(fn=_run_train, passthrough=True)
 
 
@@ -85,7 +86,8 @@ def _run_train(args, extra):
 
 def _add_evaluate(sub):
     p = sub.add_parser("evaluate", help="Evaluate a model on a task's eval split")
-    p.add_argument("task", choices=["audioset", "esc50", "fsd50k", "dcase20", "openmic"])
+    p.add_argument("task", choices=["audioset", "audioset_pl", "esc50",
+                                    "fsd50k", "dcase20", "openmic"])
     p.set_defaults(fn=_run_evaluate, passthrough=True)
 
 

@@ -19,12 +19,25 @@ import numpy as np
 def _build_parser(spec):
     p = argparse.ArgumentParser(prog=f"train {spec.name}")
     for key, val in spec.defaults.items():
+        if key == "num_devices":  # preset-overridable global flag (below)
+            continue
         if isinstance(val, bool):
             p.add_argument(f"--{key}", action="store_true", default=val)
         elif val is None:
             p.add_argument(f"--{key}", default=None)
         else:
             p.add_argument(f"--{key}", type=type(val), default=val)
+    # model-architecture flags shared by every task (the reference exposes
+    # them on each training script: ex_audioset.py:343 strides, and
+    # get_model's se_agg, models/mn/model.py:329 — the fc_s2221/s2211
+    # training recipes need both). Default None = keep the model config's
+    # own value, so loading e.g. mn10_as_fc_s2221 pretrained without the
+    # flag keeps its registry strides (2,2,2,1); strides never change
+    # param shapes, so overriding them on pretrained weights is legal
+    # (that IS the fc_s2221 recipe: ImageNet weights, re-strided).
+    p.add_argument("--strides", nargs=4, type=int, default=None)
+    p.add_argument("--se_agg", choices=["max", "avg", "add", "min"],
+                   default=None)
     p.add_argument("--dataset_dir", type=str, default=None)
     p.add_argument("--synthetic", type=int, default=0,
                    help="use N synthetic clips instead of the real dataset")
@@ -47,7 +60,8 @@ def _build_parser(spec):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--keep_checkpoints", type=int, default=1)
     p.add_argument("--experiment_name", type=str, default=None)
-    p.add_argument("--num_devices", type=int, default=None,
+    p.add_argument("--num_devices", type=int,
+                   default=spec.defaults.get("num_devices"),
                    help="devices in the data-parallel mesh (default: all; "
                         "the Lightning variant's flag, ex_pl_audioset.py:306)")
     p.add_argument("--eval_only", action="store_true", default=False)
@@ -81,12 +95,18 @@ def _build_model(spec, args, dtype):
     name = args.model_name
     width = NAME_TO_WIDTH(name) if args.pretrained else args.model_width
     remat = bool(getattr(args, "remat", False))
+    strides = getattr(args, "strides", None)  # None = keep config default
+    se_agg = getattr(args, "se_agg", None)
     if args.pretrained:
         from efficientat_tpu.models.convert import load_pretrained
 
         model, variables, _ = load_pretrained(name, num_classes=spec.num_classes,
                                               dtype=dtype)
         cfg = dataclasses.replace(model.cfg, remat=remat)
+        if strides is not None:  # legal on loaded weights: stride changes
+            cfg = dataclasses.replace(cfg, strides=tuple(strides))  # no shapes
+        if se_agg is not None and hasattr(cfg, "se_agg"):
+            cfg = dataclasses.replace(cfg, se_agg=se_agg)
         if isinstance(cfg, DyMNConfig):
             cfg = dataclasses.replace(cfg, t_max=args.pretrain_final_temp)
             model = DyMN(cfg, dtype=dtype)
@@ -95,10 +115,12 @@ def _build_model(spec, args, dtype):
         return model, variables
     if name.startswith("dymn"):
         cfg = DyMNConfig(num_classes=spec.num_classes, width_mult=width,
-                         remat=remat)
+                         strides=tuple(strides or (2, 2, 2, 2)), remat=remat)
         return DyMN(cfg, dtype=dtype), None
     cfg = MNConfig(num_classes=spec.num_classes, width_mult=width,
-                   head_type=args.head_type, se_dims=args.se_dims, remat=remat)
+                   head_type=args.head_type, se_dims=args.se_dims,
+                   se_agg=se_agg or "max",
+                   strides=tuple(strides or (2, 2, 2, 2)), remat=remat)
     return MN(cfg, dtype=dtype), None
 
 

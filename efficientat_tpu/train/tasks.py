@@ -57,6 +57,26 @@ TASKS: Dict[str, TaskSpec] = {
                       teacher_preds="resources/passt_enemble_logits_mAP_495.npy",
                       fname_to_index="resources/fname_to_index.pkl"),
     ),
+    # the distributed variant's distinct recipe (ex_pl_audioset.py:306,
+    # 331-333): 4-device data parallelism, max_lr 3e-3, wd 1e-4, 12
+    # workers. Same engine — the preset just makes the published recipe
+    # one flag away. (Task name "audioset" internally: same datasets,
+    # teacher store, and loss.)
+    "audioset_pl": TaskSpec(
+        "audioset", 527, "bce", "map_roc",
+        defaults=dict(_SHARED_MEL, batch_size=120, num_workers=12,
+                      num_devices=4,
+                      model_name="mn10_as", pretrained=False,
+                      pretrain_final_temp=30.0, model_width=1.0,
+                      head_type="mlp", se_dims="c", adamw=False,
+                      n_epochs=200, mixup_alpha=0.3, epoch_len=100_000,
+                      roll=False, wavmix=False, gain_augment=0,
+                      weight_decay=1e-4, max_lr=3e-3, warm_up_len=8,
+                      ramp_down_start=80, ramp_down_len=95,
+                      last_lr_value=0.01, kd_lambda=0.1, temperature=1.0,
+                      teacher_preds="resources/passt_enemble_logits_mAP_495.npy",
+                      fname_to_index="resources/fname_to_index.pkl"),
+    ),
     "esc50": TaskSpec(
         "esc50", 50, "ce", "accuracy",
         defaults=dict(_SHARED_MEL, **dict(_SHARED_FT, batch_size=128, lr=6e-5,
