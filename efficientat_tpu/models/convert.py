@@ -290,6 +290,42 @@ def checkpoint_classes(sd: Dict[str, np.ndarray], head_type: str) -> int:
     return -1
 
 
+def ensure_checkpoint(name: str, model_dir: str = MODEL_DIR) -> str:
+    """Download (if missing) and return the path of a registry name's .pt.
+
+    If ``<model_dir>/checkpoints.sha256`` exists (lines of
+    ``<sha256>  <filename>``, the sha256sum format), the file's digest is
+    verified against it — the first networked parity run can pin the
+    release artifacts once and every later run cross-checks them
+    (scripts/parity_check.py records the digest either way)."""
+    import hashlib
+
+    spec = get_model_config(name)
+    path = os.path.join(model_dir, spec.file)
+    if not os.path.isfile(path):
+        os.makedirs(model_dir, exist_ok=True)
+        urllib.request.urlretrieve(spec.url, path)
+    manifest = os.path.join(model_dir, "checkpoints.sha256")
+    if os.path.isfile(manifest):
+        want = None
+        with open(manifest) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) >= 2 and parts[1].lstrip("*") == spec.file:
+                    want = parts[0].lower()
+        if want is not None:
+            h = hashlib.sha256()
+            with open(path, "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            got = h.hexdigest()
+            if got != want:
+                raise ValueError(
+                    f"checksum mismatch for {spec.file}: manifest {want}, "
+                    f"file {got} — delete the file to re-download")
+    return path
+
+
 def load_pretrained(
     name: str,
     num_classes: Optional[int] = None,
@@ -311,10 +347,7 @@ def load_pretrained(
     model, _ = build_model(name, num_classes=num_classes, dtype=dtype)
     cfg = model.cfg
 
-    path = os.path.join(model_dir, spec.file)
-    if not os.path.isfile(path):
-        os.makedirs(model_dir, exist_ok=True)
-        urllib.request.urlretrieve(spec.url, path)
+    path = ensure_checkpoint(name, model_dir)
     sd = load_torch_state_dict(path)
 
     ckpt_classes = checkpoint_classes(sd, cfg.head_type)

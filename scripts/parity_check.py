@@ -114,7 +114,13 @@ def check_eval(tagger, args, report):
     return ok if want else None
 
 
-def main():
+def run(argv=None) -> int:
+    """Full parity flow for one name; returns the exit code (0 = pass or
+    no-golden). Kept callable so the offline dry-run test can exercise the
+    complete download(skip)->checksum->convert->demo->report path with a
+    local fake release file (tests/test_convert.py)."""
+    import hashlib
+
     p = argparse.ArgumentParser()
     p.add_argument("--model_name", default="dymn10_as")
     p.add_argument("--audio_path", default="resources/metro_station-paris.wav")
@@ -128,12 +134,25 @@ def main():
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--out", default=None,
                    help="report path (default parity_<model>.json)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from efficientat_tpu.infer.tag import Tagger
+    from efficientat_tpu.models.convert import ensure_checkpoint
+
+    # download (or find) the release file FIRST and record its digest, so
+    # the report pins exactly which artifact produced the numbers; an
+    # optional <model_dir>/checkpoints.sha256 manifest is enforced inside
+    path = ensure_checkpoint(args.model_name, args.model_dir)
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    report = {"model_name": args.model_name,
+              "checkpoint_file": path,
+              "checkpoint_sha256": h.hexdigest()}
+    print(f"checkpoint {path} sha256={report['checkpoint_sha256']}")
 
     tagger = Tagger(args.model_name, pretrained=True, model_dir=args.model_dir)
-    report = {"model_name": args.model_name}
     results = [check_demo(tagger, args, report)]
     if args.eval_hdf5:
         results.append(check_eval(tagger, args, report))
@@ -146,11 +165,11 @@ def main():
     graded = [r for r in results if r is not None]
     if not graded:
         print("PARITY: NO GOLDEN (recorded only)")
-        sys.exit(0)
+        return 0
     ok = all(graded)
     print("PARITY:", "PASS" if ok else "FAIL")
-    sys.exit(0 if ok else 1)
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(run())

@@ -7,6 +7,9 @@ efficientat_tpu.models.convert, and the NHWC flax forward is compared against
 an independent NCHW torch-functional forward on the same weights.
 """
 
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -277,3 +280,49 @@ def test_file_level_checkpoint_pipeline(tmp_path):
     hidden = np.asarray(v50["params"]["head"]["hidden"]["kernel"])
     np.testing.assert_allclose(hidden, sd["classifier.2.weight"].numpy().T,
                                rtol=1e-6)
+
+
+def test_parity_check_script_offline_dry_run(tmp_path, capsys):
+    """scripts/parity_check.py end-to-end with a LOCAL fake release file:
+    the exact command the first networked minute will run, minus only the
+    download (VERDICT r4 next #7). Exercises ensure_checkpoint (sha256
+    manifest verification), conversion, the demo-clip forward, and the
+    JSON report; a corrupted checksum must fail loudly."""
+    import hashlib
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import parity_check
+
+    name = "mn04_as"
+    from efficientat_tpu.models.registry import build_model, get_model_config
+
+    spec = get_model_config(name)
+    ref_model, _ = build_model(name)
+    sd = make_mn_state_dict(ref_model.cfg, seed=47)
+    model_dir = tmp_path / "resources"
+    model_dir.mkdir()
+    pt = model_dir / spec.file
+    torch.save(sd, str(pt))
+    digest = hashlib.sha256(pt.read_bytes()).hexdigest()
+    (model_dir / "checkpoints.sha256").write_text(f"{digest}  {spec.file}\n")
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "report.json"
+    rc = parity_check.run([
+        "--model_name", name,
+        "--model_dir", str(model_dir),
+        "--audio_path", os.path.join(here, "assets", "demo_scene.wav"),
+        "--out", str(out)])
+    assert rc == 0  # mn04_as has no published golden -> recorded-only pass
+    report = json.loads(out.read_text())
+    assert report["checkpoint_sha256"] == digest
+    assert len(report["top10"]) == 10
+    assert "NO GOLDEN" in capsys.readouterr().out
+
+    # a tampered manifest digest must refuse the file
+    (model_dir / "checkpoints.sha256").write_text(f"{'0'*64}  {spec.file}\n")
+    from efficientat_tpu.models.convert import ensure_checkpoint
+
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        ensure_checkpoint(name, str(model_dir))
