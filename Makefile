@@ -26,5 +26,11 @@ contract:
 
 precommit: fast contract
 
+# per-round verification evidence (VERDICT r4 next #9): run BOTH tiers and
+# record counts + duration + the bench headline into TESTS.md, committed at
+# the snapshot so the round artifact proves green without a judge re-run.
+evidence:
+	python scripts/record_evidence.py
+
 native:
 	cd native && make
