@@ -23,11 +23,11 @@ Key design points (each one measured, scripts/probe_mel_kernel.py):
   and patched into the output.
   On real audio the fold helps the fp32 path too: smooth low-frequency
   content makes xe tiny relative to x, so computing the subtraction on
-  the waveform in fp32 (as the XLA path and the torch reference both do)
-  loses ~4 digits. On the demo clip this kernel is within 2.3e-5 of the
-  float64 truth where the XLA path deviates by 3.1e-3 — a fused-vs-XLA
-  comparison on real audio reports ~3e-3, and that residual is the *XLA
-  path's* error.
+  the waveform in fp32 (as the torch reference does) loses ~4 digits.
+  Since r5 the XLA fallback rides the same folded basis AND host-f64
+  bank construction (ops/melspec.py::stft_power_folded; a traced fmin
+  used to switch banks to on-device fp32 — probe_folded_tpu9), so both
+  paths track the float64 truth to ~2.9e-5 on the bench selftest waves.
 - The Nyquist FFT bin is dropped: the reference's Kaldi mel bank has an
   all-zero Nyquist row (models/preprocess.py:54), so only n_fft/2 = 512
   frequency bins contribute — making the DFT basis exactly (1024, 1024)
@@ -408,13 +408,17 @@ def log_mel_spectrogram_fused(
     if training and rng is None:
         raise ValueError("training=True requires an rng key")
 
-    fmin = jnp.asarray(cfg.fmin, dtype=jnp.float32)
-    fmax = jnp.asarray(cfg.effective_fmax, dtype=jnp.float32)
+    # Python floats unless jittered: a traced fmin (and under jit even
+    # jnp.asarray(const) is a Tracer) would silently switch kaldi_mel_banks
+    # to its on-device fp32 construction — see ops/melspec.py, same fix.
+    fmin, fmax = cfg.fmin, cfg.effective_fmax
     if training:
         r_fmin, r_fmax, r_freqm, r_timem = jax.random.split(rng, 4)
-        fmin = fmin + jax.random.randint(r_fmin, (), 0, cfg.fmin_aug_range).astype(jnp.float32)
-        fmax = fmax + cfg.fmax_aug_range // 2 - jax.random.randint(
-            r_fmax, (), 0, cfg.fmax_aug_range).astype(jnp.float32)
+        fmin = jnp.asarray(fmin, jnp.float32) + jax.random.randint(
+            r_fmin, (), 0, cfg.fmin_aug_range).astype(jnp.float32)
+        fmax = jnp.asarray(fmax, jnp.float32) + (
+            cfg.fmax_aug_range // 2 - jax.random.randint(
+                r_fmax, (), 0, cfg.fmax_aug_range)).astype(jnp.float32)
     banks = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, fmin, fmax)
 
     if dft_precision is None:

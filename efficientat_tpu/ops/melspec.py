@@ -299,13 +299,20 @@ def log_mel_spectrogram(
         x = preemphasis(x32)
         spec = stft_power(x, cfg.n_fft, cfg.hopsize, cfg.win_length)
 
-    fmin = jnp.asarray(cfg.fmin, dtype=jnp.float32)
-    fmax = jnp.asarray(cfg.effective_fmax, dtype=jnp.float32)
+    # Keep fmin/fmax as PYTHON floats unless the training jitter makes them
+    # data-dependent: under jit even ``jnp.asarray(0.0)`` is a Tracer (JAX
+    # stages constants), and a traced fmin forces kaldi_mel_banks onto its
+    # on-device fp32 construction path — whose triangle-edge rounding is the
+    # 2.5e-2 near-floor selftest deviation the host-f64 banks exist to avoid
+    # (root-caused on a v5e, scripts/probe_folded_tpu9.py).
+    fmin, fmax = cfg.fmin, cfg.effective_fmax
     if training:
         r_fmin, r_fmax, r_freqm, r_timem = jax.random.split(rng, 4)
-        fmin = fmin + jax.random.randint(r_fmin, (), 0, cfg.fmin_aug_range).astype(jnp.float32)
-        fmax = fmax + cfg.fmax_aug_range // 2 - jax.random.randint(
-            r_fmax, (), 0, cfg.fmax_aug_range).astype(jnp.float32)
+        fmin = jnp.asarray(fmin, jnp.float32) + jax.random.randint(
+            r_fmin, (), 0, cfg.fmin_aug_range).astype(jnp.float32)
+        fmax = jnp.asarray(fmax, jnp.float32) + (
+            cfg.fmax_aug_range // 2 - jax.random.randint(
+                r_fmax, (), 0, cfg.fmax_aug_range)).astype(jnp.float32)
 
     banks = kaldi_mel_banks(cfg.n_mels, cfg.n_fft, cfg.sr, fmin, fmax)
     mel = jnp.einsum("mf,btf->bmt", banks, spec,

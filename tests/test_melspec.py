@@ -189,3 +189,29 @@ def test_log_mel_short_clip_fallback():
     out = np.asarray(log_mel_spectrogram(x, MelConfig(), training=False))
     assert out.shape == (1, 128, MelConfig().num_frames(1600))
     assert np.isfinite(out).all()
+
+
+def test_eval_path_banks_built_on_host():
+    """Under jit, even ``jnp.asarray(0.0)`` is a Tracer, so an eval-path
+    fmin wrapped in asarray silently flips kaldi_mel_banks onto its
+    on-device fp32 construction — whose triangle-edge rounding reads
+    2.5e-2 vs f64 near the log floor (probe_folded_tpu9, v5e). Pin the
+    fix structurally: the compiled eval graph must contain no traced
+    filterbank ops (the banks enter as a host-f64-built constant)."""
+    cfg = MelConfig()
+    jf = jax.jit(lambda w: log_mel_spectrogram(w, cfg))
+    hlo = jf.lower(np.zeros((2, 64000), np.float32)).compile().as_text()
+    assert "filterbank.py" not in hlo, (
+        "eval-path mel banks are being constructed on-device (traced "
+        "fmin/fmax?) — this costs ~1e-3..1e-2 accuracy near the mel floor")
+
+
+def test_training_jitter_still_traced():
+    """The training path DOES need in-graph bank construction (per-batch
+    fmin/fmax jitter, models/preprocess.py:45-50): its compiled graph
+    must contain the traced filterbank ops the eval path must not."""
+    cfg = MelConfig()
+    jf = jax.jit(lambda w, k: log_mel_spectrogram(w, cfg, training=True, rng=k))
+    hlo = jf.lower(np.zeros((2, 64000), np.float32),
+                   jax.random.PRNGKey(0)).compile().as_text()
+    assert "filterbank.py" in hlo
