@@ -122,6 +122,12 @@ class DynamicConv(nn.Module):
     # All three compute y[b,n,o] = sum_{k,i} att[b,k] x[b,n,i] W[k,i,o]
     # (equivalence pinned in tests/test_models.py).
     pw_form: str = "per_sample"
+    # feature-map layout this conv consumes and produces:
+    # - "nhwc": (B, F, T, C) — the canonical layout
+    # - "ftbc": (F, T, B, C) — batch-minor residency that makes the
+    #   depthwise fold's (1, F, T, B*C) reshape FREE (no transpose);
+    #   see DyMNConfig.layout
+    layout: str = "nhwc"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -138,11 +144,19 @@ class DynamicConv(nn.Module):
 
         ks = self.kernel_size
         fan_out = self.out_channels * ks * ks
+        ftbc = self.layout == "ftbc"
         if ks == 1 and self.groups == 1:
             w = self.param(
                 "weight", _bank_init(self.k, fan_out),
                 (self.k, self.in_channels, self.out_channels))
             w = w.astype(self.dtype)
+            if ftbc:
+                f, t, b, ci = x.shape
+                x2 = x.reshape(f * t, b, ci)  # free: (F,T) are major axes
+                wb = jnp.einsum("bk,kio->bio", att, w)
+                y = jnp.einsum("nbi,bio->nbo", x2, wb,
+                               preferred_element_type=self.dtype)
+                return y.reshape(f, t, b, self.out_channels)
             b, f, t, ci = x.shape
             x2 = x.reshape(b, f * t, ci)
             if self.pw_form == "shared_out":
@@ -163,6 +177,11 @@ class DynamicConv(nn.Module):
             w = self.param(
                 "weight", _bank_init(self.k, fan_out),
                 (self.k, ks, ks, self.in_channels))
+            if ftbc:
+                # mix straight into the fold's rhs layout (ks, ks, B, C)
+                wb = jnp.einsum("bk,kuvc->uvbc", att, w.astype(self.dtype))
+                return _dynamic_depthwise_ftbc(x, wb, ks, self.stride,
+                                               self.dilation)
             wb = jnp.einsum("bk,kuvc->buvc", att, w.astype(self.dtype))
             return _dynamic_depthwise(x, wb, ks, self.stride, self.dilation)
         raise NotImplementedError(
@@ -234,6 +253,46 @@ def _dynamic_depthwise_local(x, w, ks: int, stride: int, dilation: int):
     return _dynamic_depthwise_fold(x, w, ks, stride, dilation)
 
 
+def _dynamic_depthwise_ftbc(x, w, ks: int, stride: int, dilation: int):
+    """Per-sample depthwise conv on a batch-minor-resident tensor.
+
+    x: (F, T, B, C); w: (ks, ks, B, C). The (1, F, T, B*C) grouped-conv
+    fold is a pure RESHAPE here — (F, T) are already the major axes — so
+    the two physical transposes `_dynamic_depthwise_fold` pays per call
+    vanish; the output stays (Fo, To, B, C) for the next resident op.
+    """
+    from efficientat_tpu.parallel.spmd import current_data_mesh
+
+    ctx = current_data_mesh()
+    if ctx is not None:
+        mesh, axis = ctx
+        n = mesh.shape[axis]
+        if n > 1 and x.shape[2] % n == 0:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(None, None, axis, None)
+            fn = jax.shard_map(
+                lambda xs, ws: _dynamic_depthwise_ftbc_local(
+                    xs, ws, ks, stride, dilation),
+                mesh=mesh, in_specs=(spec, P(None, None, axis, None)),
+                out_specs=spec)
+            return fn(x, w)
+    return _dynamic_depthwise_ftbc_local(x, w, ks, stride, dilation)
+
+
+def _dynamic_depthwise_ftbc_local(x, w, ks: int, stride: int, dilation: int):
+    f, t, b, c = x.shape
+    p = (ks - 1) // 2 * dilation
+    lhs = x.reshape(1, f, t, b * c)
+    rhs = w.reshape(ks, ks, 1, b * c)
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, (stride, stride), [(p, p), (p, p)],
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=b * c)
+    return out.reshape(out.shape[1], out.shape[2], b, c)
+
+
 def _dynamic_depthwise(x, w, ks: int, stride: int, dilation: int):
     """Per-sample depthwise conv, SPMD-safe under a data-parallel mesh.
 
@@ -277,6 +336,7 @@ class ContextGen(nn.Module):
     context_dim: int
     exp_channels: int
     stride: int = 1
+    layout: str = "nhwc"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -285,6 +345,32 @@ class ContextGen(nn.Module):
         excluded from the time-pooled branch and from the shared context
         mean, so h_c / g_cf (and the valid positions of g_ct) match an
         exact-shape forward."""
+        if self.layout == "ftbc":
+            # (F, T, B, C) resident: identical math with the pooled-sequence
+            # axis leading; parameters (Dense over C, BN over C) are
+            # checkpoint-identical to the nhwc path.
+            assert time_valid is None
+            f, t = x.shape[0], x.shape[1]
+            cf = jnp.mean(x, axis=1)  # (F, B, C)
+            ct = jnp.mean(x, axis=0)  # (T, B, C)
+            g_cat = jnp.concatenate([cf, ct], axis=0)  # (F+T, B, C)
+            g_cat = nn.Dense(self.context_dim, use_bias=False,
+                             kernel_init=dense_init, dtype=self.dtype,
+                             name="joint")(g_cat)
+            g_cat = nn.BatchNorm(use_running_average=not train,
+                                 momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                                 dtype=self.dtype, name="joint_bn")(g_cat)
+            g_cat = nn.hard_swish(g_cat)
+            h_cf, h_ct = g_cat[:f], g_cat[f:]
+            h_c = jnp.mean(g_cat, axis=0)  # (B, H)
+            if self.stride > 1:
+                h_cf = _seq_avg_pool_ax0(h_cf, self.stride)
+                h_ct = _seq_avg_pool_ax0(h_ct, self.stride)
+            g_cf = nn.Dense(self.exp_channels, kernel_init=dense_init,
+                            dtype=self.dtype, name="proj_f")(h_cf)  # (F',B,exp)
+            g_ct = nn.Dense(self.exp_channels, kernel_init=dense_init,
+                            dtype=self.dtype, name="proj_t")(h_ct)  # (T',B,exp)
+            return h_c, g_cf, g_ct
         f, t = x.shape[1], x.shape[2]
         if time_valid is not None:
             xm = time_mask(x, time_valid)
@@ -334,6 +420,17 @@ def _seq_avg_pool(x, stride: int):
     return acc / 3.0
 
 
+def _seq_avg_pool_ax0(x, stride: int):
+    """Same pooling along axis 0 of (S, B, C) (the ftbc-resident layout)."""
+    xp = jnp.pad(x, ((1, 1), (0, 0), (0, 0)))
+    s_out = (x.shape[0] + 2 - 3) // stride + 1
+    acc = sum(
+        jax.lax.slice_in_dim(xp, d, d + (s_out - 1) * stride + 1, stride, axis=0)
+        for d in range(3)
+    )
+    return acc / 3.0
+
+
 class DyReLUB(nn.Module):
     """Dynamic ReLU (variant B): per-channel max of M learned linear maps.
 
@@ -343,6 +440,7 @@ class DyReLUB(nn.Module):
 
     channels: int
     m: int = 2
+    layout: str = "nhwc"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -354,6 +452,16 @@ class DyReLUB(nn.Module):
         lambdas = jnp.asarray([1.0] * self.m + [0.5] * self.m, dtype=theta.dtype)
         init_v = jnp.asarray([1.0] + [0.0] * (2 * self.m - 1), dtype=theta.dtype)
         coefs = theta * lambdas + init_v  # (B, C, 2M)
+        if self.layout == "ftbc":
+            if self.m == 2:
+                a0 = coefs[None, None, :, :, 0]  # (1,1,B,C)
+                a1 = coefs[None, None, :, :, 1]
+                b0 = coefs[None, None, :, :, 2]
+                b1 = coefs[None, None, :, :, 3]
+                return jnp.maximum(x * a0 + b0, x * a1 + b1)
+            a = coefs[None, None, :, :, :self.m]  # (1,1,B,C,M)
+            b = coefs[None, None, :, :, self.m:]
+            return jnp.max(x[..., None] * a + b, axis=-1)
         if self.m == 2:
             # unrolled: two fused FMAs + maximum, no (B,F,T,C,M) tensor
             # (the reference makes the same specialization, dy_block.py:184-187)
@@ -372,6 +480,11 @@ def coord_att(x, g_cf, g_ct):
     return x * nn.sigmoid(g_cf)[:, :, None, :] * nn.sigmoid(g_ct)[:, None, :, :]
 
 
+def coord_att_ftbc(x, g_cf, g_ct):
+    """coord_att on the (F, T, B, C)-resident tensor; g_cf (F,B,C), g_ct (T,B,C)."""
+    return x * nn.sigmoid(g_cf)[:, None, :, :] * nn.sigmoid(g_ct)[None, :, :, :]
+
+
 class DYBlock(nn.Module):
     """Dynamic inverted residual block (dy_block.py:257-409)."""
 
@@ -386,6 +499,7 @@ class DYBlock(nn.Module):
     no_dyconv: bool = False
     no_ca: bool = False
     pw_form: str = "per_sample"
+    layout: str = "nhwc"
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -402,9 +516,15 @@ class DYBlock(nn.Module):
         act = ACTIVATIONS[cnf.activation]
         stride = 1 if cnf.dilation > 1 else cnf.stride
         inp = x
+        ftbc = self.layout == "ftbc"
+        if ftbc:
+            # the resident layout is a pure-throughput path: static convs
+            # (no_dyconv) and the masked variable-length eval stay nhwc
+            assert not self.no_dyconv and time_valid is None
 
         h_c, g_cf, g_ct = ContextGen(self.context_dim, cnf.expanded_channels,
-                                     stride=stride, dtype=self.dtype,
+                                     stride=stride, layout=self.layout,
+                                     dtype=self.dtype,
                                      name="context")(x, train, time_valid)
 
         bn = lambda name: nn.BatchNorm(use_running_average=not train,
@@ -418,7 +538,7 @@ class DYBlock(nn.Module):
             else:
                 x = DynamicConv(cnf.input_channels, cnf.expanded_channels,
                                 k=self.dyconv_k, pw_form=self.pw_form,
-                                dtype=self.dtype,
+                                layout=self.layout, dtype=self.dtype,
                                 name="exp_conv")(x, h_c, temperature)
             x = bn("exp_bn")(x)
             x = act(x)
@@ -439,16 +559,18 @@ class DYBlock(nn.Module):
             x = DynamicConv(cnf.expanded_channels, cnf.expanded_channels,
                             kernel_size=cnf.kernel, stride=stride,
                             dilation=cnf.dilation, groups=cnf.expanded_channels,
-                            k=self.dyconv_k, dtype=self.dtype,
+                            k=self.dyconv_k, layout=self.layout,
+                            dtype=self.dtype,
                             name="depth_conv")(x, h_c, temperature)
         x = bn("depth_bn")(x)
         if self.no_dyrelu:
             x = act(x)
         else:
-            x = DyReLUB(cnf.expanded_channels, self.dyrelu_k, dtype=self.dtype,
+            x = DyReLUB(cnf.expanded_channels, self.dyrelu_k,
+                        layout=self.layout, dtype=self.dtype,
                         name="dyrelu")(x, h_c)
         if not self.no_ca:
-            x = coord_att(x, g_cf, g_ct)
+            x = coord_att_ftbc(x, g_cf, g_ct) if ftbc else coord_att(x, g_cf, g_ct)
 
         # project
         if self.no_dyconv:
@@ -457,7 +579,7 @@ class DYBlock(nn.Module):
         else:
             x = DynamicConv(cnf.expanded_channels, cnf.out_channels,
                             k=self.dyconv_k, pw_form=self.pw_form,
-                            dtype=self.dtype,
+                            layout=self.layout, dtype=self.dtype,
                             name="proj_conv")(x, h_c, temperature)
         x = bn("proj_bn")(x)
 
@@ -491,6 +613,22 @@ class DyMNConfig:
     # pointwise DynamicConv lowering: per_sample | shared_out | shared_in
     # (see DynamicConv.pw_form)
     pw_form: str = "per_sample"
+    # feature-map residency through the dynamic blocks:
+    # - "nhwc": canonical (B, F, T, C)
+    # - "ftbc": (F, T, B, C) between the stem and the tail, which turns the
+    #   dynamic-depthwise fold's two physical transposes per block into free
+    #   reshapes. Parameters are layout-independent (identical checkpoints);
+    #   applies only when every block is dynamic (use_dy_blocks="all",
+    #   no_dyconv False) and falls back to nhwc for masked variable-length
+    #   eval. MEASURED NEGATIVE (2026-08-19, v5e, B=120 full pipeline,
+    #   scripts/probe_dymn_layout.py): ftbc is 11-13% SLOWER than nhwc
+    #   (fp32 770.5 vs 862.6 clips/s; bf16 840.9 vs 965.2) — XLA already
+    #   fuses the fold's transposes into the surrounding convs, and the
+    #   batch-minor residency costs the static stem/pointwise lowerings
+    #   more than it saves the fold. Kept equivalence-tested
+    #   (tests/test_models.py::test_dymn_layouts_agree_eval_and_train) so
+    #   the experiment isn't re-run blind. Default stays "nhwc".
+    layout: str = "nhwc"
     use_dy_blocks: str = "all"  # all | replace_se
     reduced_tail: bool = False
     dilated: bool = False
@@ -546,6 +684,13 @@ class DyMN(nn.Module):
             tv = conv_out_count(time_valid, cfg.in_conv_kernel, cfg.in_conv_stride)
         x = ConvNormAct(table[0].input_channels, cfg.in_conv_kernel,
                         cfg.in_conv_stride, dtype=self.dtype, name="stem")(x, train)
+        # batch-minor residency (see DyMNConfig.layout): one transpose after
+        # the stem and one before the tail replace 2 transposes per block
+        ftbc = (cfg.layout == "ftbc" and time_valid is None
+                and cfg.use_dy_blocks == "all" and not cfg.no_dyconv)
+        layout = "ftbc" if ftbc else "nhwc"
+        if ftbc:
+            x = jnp.transpose(x, (1, 2, 0, 3))  # (B,F,T,C) -> (F,T,B,C)
         dy_cls = (nn.remat(DYBlock, static_argnums=(2,)) if cfg.remat
                   else DYBlock)
         static_cls = (nn.remat(InvertedResidual, static_argnums=(2,))
@@ -556,7 +701,7 @@ class DyMN(nn.Module):
                            cfg.max_context_size, cfg.min_context_size,
                            cfg.dyrelu_k, cfg.dyconv_k, cfg.no_dyrelu,
                            cfg.no_dyconv, cfg.no_ca, cfg.pw_form,
-                           dtype=self.dtype,
+                           layout=layout, dtype=self.dtype,
                            name=f"block{i}")(x, train, temperature, tv)
             else:
                 # static blocks in DyMN carry no SE (DynamicInvertedResidualConfig
@@ -566,6 +711,8 @@ class DyMN(nn.Module):
             if tv is not None:
                 stride = 1 if cnf.dilation > 1 else cnf.stride
                 tv = conv_out_count(tv, cnf.kernel, stride, cnf.dilation)
+        if ftbc:
+            x = jnp.transpose(x, (2, 0, 1, 3))  # back to (B,F,T,C)
         x = ConvNormAct(6 * table[-1].out_channels, 1, dtype=self.dtype,
                         name="tail")(x, train)
 

@@ -20,12 +20,14 @@ Usage:  PYTHONPATH=/root/repo:/root/.axon_site python scripts/probe_dy_layout.py
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join("/root/repo", "scripts"))
 
 import jax
 import jax.numpy as jnp
@@ -34,40 +36,22 @@ from efficientat_tpu.models.dymn import _dynamic_depthwise_fold
 from efficientat_tpu.models.mn import mn_block_table
 
 
-def slope_ms(run, args, iters=8):
-    jax.block_until_ready(run(*args, 2))
-    best = None
-    accepted = 0
-    for _ in range(4):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(*args, iters))
-        ts = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(*args, 3 * iters))
-        tl = time.perf_counter() - t0
-        dt = tl - ts
-        if dt >= max(0.5, 0.2 * ts):
-            per = dt / (2 * iters)
-            best = per if best is None else min(best, per)
-            accepted += 1
-            if accepted == 2:
-                return best * 1e3
-        else:
-            iters *= 3
-    return (best if best is not None else tl / (3 * iters)) * 1e3
+def slope_ms(run, args, iters=64):
+    """ms per op via scripts/_bench_util.time_device (this probe's original
+    two-point slope timer mis-tracked its tripled iteration count and
+    reported 0.0 for every row — superseded; the whole-model verdict lives
+    in scripts/probe_dymn_layout.py)."""
+    from _bench_util import time_device
+
+    def fn(*a):
+        *xs, eps = a
+        return jnp.sum(run(xs[0] + eps, *xs[1:]))
+
+    return time_device(fn, *args, iters=iters) * 1e3
 
 
 def loop(fn):
-    @jax.jit
-    def run(*args):
-        n = args[-1]
-        xs = args[:-1]
-
-        def body(i, acc):
-            return acc + jnp.sum(fn(*[x + i * 1e-7 if j == 0 else x
-                                      for j, x in enumerate(xs)]))
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-    return run
+    return fn
 
 
 def main():

@@ -306,3 +306,39 @@ def test_dynamic_pointwise_forms_agree():
         outs.append(np.asarray(m.apply(v, x, False, 1.0)[0]))
     np.testing.assert_allclose(outs[1], outs[0], rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(outs[2], outs[0], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dymn_layouts_agree_eval_and_train():
+    """The ftbc (batch-minor, (F,T,B,C)-resident) DyMN layout is a pure
+    residency change: identical parameter tree, identical eval logits,
+    identical train-mode outputs and batch stats vs the canonical nhwc
+    path (DyMNConfig.layout)."""
+    from efficientat_tpu.models.dymn import DyMN, DyMNConfig
+
+    cfg = DyMNConfig(width_mult=0.4, num_classes=7, t_max=1.0)
+    m_n = DyMN(cfg)
+    m_f = DyMN(dataclasses.replace(cfg, layout="ftbc"))
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(3, 64, 48, 1)),
+                    jnp.float32)
+    v_n = m_n.init(jax.random.PRNGKey(0), x[:1])
+    v_f = m_f.init(jax.random.PRNGKey(0), x[:1])
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: bool(jnp.allclose(a, b)), v_n, v_f))
+
+    temp = jnp.float32(2.0)
+    yn = m_n.apply(v_n, x, False, temp)[0]
+    yf = m_f.apply(v_n, x, False, temp)[0]
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yn),
+                               rtol=1e-5, atol=1e-5)
+
+    rngs = {"dropout": jax.random.PRNGKey(7)}
+    (tn, _), sn = m_n.apply(v_n, x, True, temp, mutable=["batch_stats"],
+                            rngs=rngs)
+    (tf, _), sf = m_f.apply(v_n, x, True, temp, mutable=["batch_stats"],
+                            rngs=rngs)
+    np.testing.assert_allclose(np.asarray(tf), np.asarray(tn),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(sn), jax.tree.leaves(sf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
