@@ -51,6 +51,34 @@ weight banks read per sample, not a lowering artifact. (The MN full
 step decomposes as fwd_bwd 52.7 + mel/mixup/KD ~5 + optimizer & weight
 carry ~20 ms — the carry cost is per-step weight relayout, measured by
 the probe's noopt vs noopt_carry variants, 58.2 vs 79.7 ms.)
+
+r5 exhaustion of the remaining knobs (same session, same chip, KD train
+step B=120 unless noted — ``scripts/probe_dymn_r5.py``):
+
+    config                       clips/s
+    fp32                          534.3
+    bf16                          667.7
+    bf16 + remat                  769.8   <- ADOPTED recommendation
+    bf16 B=240 (B=120-equiv)      542.2   batch cliff, negative
+    bf16 B=240 + remat            476.9   negative
+    bf16 2x60 grad-accum          632.1   negative
+    fp32 + dyconv-bf16 mix        526.5   negative (dyconv_compute)
+
+- ``remat=True`` is a measured +15% on the bf16 train step (and the
+  memory win is free): recomputing block activations in the backward
+  pass beats writing them to HBM for this bandwidth-bound net. The
+  train CLI's ``--remat`` flag is the recommended DyMN setting.
+- A Pallas epilogue fusing BN+DyReLU+CoordAtt onto the depthwise fold
+  has NO headroom: ablating DyReLU+CoordAtt entirely does not speed the
+  bf16 forward (2264 full vs 1950 ablated clips/s, i.e. within noise
+  the epilogue ops are already fused by XLA — consistent with the r4
+  stage table's no_dyrelu row).
+- bf16 bank aggregation + per-sample GEMMs inside the fp32 model
+  (``DyMNConfig.dyconv_compute="bfloat16"``, fp32 accumulation) is a
+  wash (526.5 vs 534.3): the K=4 banks are small, activation traffic
+  dominates, and the grouped fold gains nothing from narrower operands.
+  Kept as a tested option (tests/test_models.py) for serving stacks
+  that want the memory halving on the banks.
 """
 
 from __future__ import annotations
@@ -128,6 +156,12 @@ class DynamicConv(nn.Module):
     #   depthwise fold's (1, F, T, B*C) reshape FREE (no transpose);
     #   see DyMNConfig.layout
     layout: str = "nhwc"
+    # compute dtype for the bank aggregation + per-sample conv ONLY
+    # (None -> model dtype). "bfloat16" inside an fp32 model halves the
+    # K=4-bank read traffic and runs the per-sample GEMMs/fold on the
+    # bf16 MXU path while ACCUMULATING fp32 (preferred_element_type), so
+    # params/BN/optimizer stay fp32; see DyMNConfig.dyconv_compute.
+    mix_dtype: jnp.dtype | None = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -145,10 +179,19 @@ class DynamicConv(nn.Module):
         ks = self.kernel_size
         fan_out = self.out_channels * ks * ks
         ftbc = self.layout == "ftbc"
+        mix = self.mix_dtype
+        mixed = mix is not None and mix != self.dtype
         if ks == 1 and self.groups == 1:
             w = self.param(
                 "weight", _bank_init(self.k, fan_out),
                 (self.k, self.in_channels, self.out_channels))
+            if mixed and not ftbc and self.pw_form == "per_sample":
+                b, f, t, ci = x.shape
+                x2 = x.reshape(b, f * t, ci).astype(mix)
+                wb = jnp.einsum("bk,kio->bio", att.astype(mix), w.astype(mix))
+                y = jnp.einsum("bni,bio->bno", x2, wb,
+                               preferred_element_type=self.dtype)
+                return y.reshape(b, f, t, self.out_channels)
             w = w.astype(self.dtype)
             if ftbc:
                 f, t, b, ci = x.shape
@@ -182,6 +225,18 @@ class DynamicConv(nn.Module):
                 wb = jnp.einsum("bk,kuvc->uvbc", att, w.astype(self.dtype))
                 return _dynamic_depthwise_ftbc(x, wb, ks, self.stride,
                                                self.dilation)
+            if mixed:
+                # conv runs fully in the mix dtype and the OUTPUT is cast
+                # back: preferred_element_type on a grouped conv breaks its
+                # VJP (the fp32 cotangent meets bf16 operands in the
+                # transposed conv and lax rejects the dtype mix). A
+                # depthwise conv accumulates only k^2 (9-25) terms, so bf16
+                # accumulation is benign; the K-bank/pointwise einsums keep
+                # true fp32 accumulation via preferred_element_type.
+                wb = jnp.einsum("bk,kuvc->buvc", att.astype(mix), w.astype(mix))
+                y = _dynamic_depthwise(x.astype(mix), wb, ks, self.stride,
+                                       self.dilation)
+                return y.astype(self.dtype)
             wb = jnp.einsum("bk,kuvc->buvc", att, w.astype(self.dtype))
             return _dynamic_depthwise(x, wb, ks, self.stride, self.dilation)
         raise NotImplementedError(
@@ -500,7 +555,16 @@ class DYBlock(nn.Module):
     no_ca: bool = False
     pw_form: str = "per_sample"
     layout: str = "nhwc"
+    # "model" or "bfloat16": compute dtype of the dyconv machinery
+    # (see DynamicConv.mix_dtype / DyMNConfig.dyconv_compute)
+    dyconv_compute: str = "model"
     dtype: jnp.dtype = jnp.float32
+
+    @property
+    def mix_dtype(self):
+        if self.dyconv_compute == "model":
+            return None
+        return jnp.dtype(self.dyconv_compute)
 
     @property
     def context_dim(self) -> int:
@@ -538,7 +602,8 @@ class DYBlock(nn.Module):
             else:
                 x = DynamicConv(cnf.input_channels, cnf.expanded_channels,
                                 k=self.dyconv_k, pw_form=self.pw_form,
-                                layout=self.layout, dtype=self.dtype,
+                                layout=self.layout, mix_dtype=self.mix_dtype,
+                                dtype=self.dtype,
                                 name="exp_conv")(x, h_c, temperature)
             x = bn("exp_bn")(x)
             x = act(x)
@@ -560,7 +625,7 @@ class DYBlock(nn.Module):
                             kernel_size=cnf.kernel, stride=stride,
                             dilation=cnf.dilation, groups=cnf.expanded_channels,
                             k=self.dyconv_k, layout=self.layout,
-                            dtype=self.dtype,
+                            mix_dtype=self.mix_dtype, dtype=self.dtype,
                             name="depth_conv")(x, h_c, temperature)
         x = bn("depth_bn")(x)
         if self.no_dyrelu:
@@ -579,7 +644,8 @@ class DYBlock(nn.Module):
         else:
             x = DynamicConv(cnf.expanded_channels, cnf.out_channels,
                             k=self.dyconv_k, pw_form=self.pw_form,
-                            layout=self.layout, dtype=self.dtype,
+                            layout=self.layout, mix_dtype=self.mix_dtype,
+                            dtype=self.dtype,
                             name="proj_conv")(x, h_c, temperature)
         x = bn("proj_bn")(x)
 
@@ -629,6 +695,14 @@ class DyMNConfig:
     #   (tests/test_models.py::test_dymn_layouts_agree_eval_and_train) so
     #   the experiment isn't re-run blind. Default stays "nhwc".
     layout: str = "nhwc"
+    # compute dtype of the dyconv machinery (bank aggregation + per-sample
+    # GEMMs + grouped depthwise fold) inside an otherwise-fp32 model:
+    # - "model": follow the model dtype (default)
+    # - "bfloat16": banks/attention/activations cast to bf16 for the mix
+    #   and the conv, ACCUMULATED fp32 (preferred_element_type) — halves
+    #   the K=4 bank read traffic and uses the bf16 MXU path while params,
+    #   BN and the optimizer stay fp32 (VERDICT r4 #5 experiment)
+    dyconv_compute: str = "model"
     use_dy_blocks: str = "all"  # all | replace_se
     reduced_tail: bool = False
     dilated: bool = False
@@ -701,7 +775,8 @@ class DyMN(nn.Module):
                            cfg.max_context_size, cfg.min_context_size,
                            cfg.dyrelu_k, cfg.dyconv_k, cfg.no_dyrelu,
                            cfg.no_dyconv, cfg.no_ca, cfg.pw_form,
-                           layout=layout, dtype=self.dtype,
+                           layout=layout, dyconv_compute=cfg.dyconv_compute,
+                           dtype=self.dtype,
                            name=f"block{i}")(x, train, temperature, tv)
             else:
                 # static blocks in DyMN carry no SE (DynamicInvertedResidualConfig

@@ -342,3 +342,33 @@ def test_dymn_layouts_agree_eval_and_train():
     for a, b in zip(jax.tree.leaves(sn), jax.tree.leaves(sf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dymn_dyconv_compute_bf16_close_and_fp32_out():
+    """DyMNConfig.dyconv_compute="bfloat16" (bank aggregation + per-sample
+    GEMMs + depthwise fold in bf16, fp32 accumulation) is a precision-only
+    change: identical parameter tree, fp32 outputs, logits within bf16
+    rounding of the full-fp32 path, and the train step traces."""
+    from efficientat_tpu.models.dymn import DyMN, DyMNConfig
+
+    cfg = DyMNConfig(width_mult=0.4, num_classes=7, t_max=1.0)
+    m0 = DyMN(cfg)
+    m1 = DyMN(dataclasses.replace(cfg, dyconv_compute="bfloat16"))
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 32, 24, 1)),
+                    jnp.float32)
+    v = m0.init(jax.random.PRNGKey(0), x[:1])
+    v1 = m1.init(jax.random.PRNGKey(0), x[:1])
+    assert jax.tree_util.tree_all(
+        jax.tree.map(lambda a, b: bool(jnp.allclose(a, b)), v, v1))
+
+    temp = jnp.float32(2.0)
+    y0 = m0.apply(v, x, False, temp)[0]
+    y1 = m1.apply(v, x, False, temp)[0]
+    assert y1.dtype == jnp.float32
+    scale = float(jnp.abs(y0).max())
+    assert float(jnp.abs(y1 - y0).max()) < max(0.05 * scale, 1e-6)
+
+    (t1, _), _ = m1.apply(v, x, True, temp, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(7)})
+    assert t1.dtype == jnp.float32
